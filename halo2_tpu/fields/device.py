@@ -173,52 +173,65 @@ def fneg(df: DeviceField, a):
     return fsub(df, jnp.zeros_like(a), a)
 
 
-def _mont_mul_limbs(df: DeviceField, al, bl):
-    """Montgomery product on unstacked limbs: returns unstacked limbs of
-    a*b*R^{-1} mod p, fully reduced."""
-    zero = jnp.zeros_like(al[0])
-    # 1) 512-bit schoolbook product into 32 columns of <=22-bit values.
-    cols = [zero] * (2 * NLIMBS)
+def _mont_mul(df: DeviceField, a, b):
+    """Montgomery product on stacked [..., 16] digit arrays: returns
+    a*b*R^{-1} mod p, fully reduced. Tensorized to keep the traced graph
+    small: one batched outer product, 32 sliced column-accumulations, a
+    16-round word-by-word reduction that skips the (many) zero limbs of the
+    Pasta moduli, then one carry propagation + conditional subtract."""
+    # 1) outer product of digits: [..., 16, 16] uint32, exact.
+    prod = a[..., :, None] * b[..., None, :]
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    # 2) accumulate into 33 columns (<= 2^22 per column, no overflow).
+    cols = jnp.zeros(a.shape[:-1] + (2 * NLIMBS + 1,), dtype=U32)
     for i in range(NLIMBS):
-        for j in range(NLIMBS):
-            prod = al[i] * bl[j]
-            cols[i + j] = cols[i + j] + (prod & MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-    # 2) word-by-word Montgomery reduction (16 rounds), retiring low columns.
+        cols = cols.at[..., i:i + NLIMBS].add(lo[..., i, :])
+        cols = cols.at[..., i + 1:i + 1 + NLIMBS].add(hi[..., i, :])
+    # 3) Montgomery reduction, one 16-bit digit per round.
     n0 = jnp.uint32(df.n0)
     p = df.p_limbs
-    c = zero
+    # contiguous runs of nonzero high limbs of p (for Pasta: j=2..7 and 15)
+    nz = [j for j in range(1, NLIMBS) if p[j] != 0]
+    runs = []
+    for j in nz:
+        if runs and runs[-1][1] == j:
+            runs[-1] = (runs[-1][0], j + 1)
+        else:
+            runs.append((j, j + 1))
+    run_consts = [jnp.asarray(np.array([p[j] for j in range(lo_j, hi_j)],
+                                       dtype=np.uint32))
+                  for lo_j, hi_j in runs]
+    c = jnp.zeros(a.shape[:-1], dtype=U32)
     for i in range(NLIMBS):
-        t = cols[i] + c
+        t = cols[..., i] + c
         m = (t * n0) & MASK
         mp0 = m * jnp.uint32(p[0])
         u = t + (mp0 & MASK)
         c = (u >> LIMB_BITS) + (mp0 >> LIMB_BITS)
-        for j in range(1, NLIMBS):
-            prod = m * jnp.uint32(p[j])
-            cols[i + j] = cols[i + j] + (prod & MASK)
-            if i + j + 1 < 2 * NLIMBS:
-                cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-    # 3) final carry-propagate of the high half (+ running carry).
+        for (lo_j, hi_j), pc in zip(runs, run_consts):
+            mp = m[..., None] * pc
+            cols = cols.at[..., i + lo_j:i + hi_j].add(mp & MASK)
+            cols = cols.at[..., i + lo_j + 1:i + hi_j + 1].add(
+                mp >> LIMB_BITS)
+    # 4) carry-propagate the high half.
     out = []
     for i in range(NLIMBS):
-        t = cols[NLIMBS + i] + c
+        t = cols[..., NLIMBS + i] + c
         out.append(t & MASK)
         c = t >> LIMB_BITS
-    # result < 2p: one conditional subtraction. (c is the 2^256 bit: with
-    # result < 2p < 2^256 it is always 0 after normalization.)
+    # 5) result < 2p: one conditional subtraction.
     pl = _const_limbs(df, out[0], p)
     d, borrow = _sub_raw(out, pl)
-    return _select(c | (jnp.uint32(1) - borrow), d, out)
+    return _stack(_select(c | (jnp.uint32(1) - borrow), d, out))
 
 
 def fmul(df: DeviceField, a, b):
-    return _stack(_mont_mul_limbs(df, _unstack(a), _unstack(b)))
+    return _mont_mul(df, a, b)
 
 
 def fsquare(df: DeviceField, a):
-    al = _unstack(a)
-    return _stack(_mont_mul_limbs(df, al, al))
+    return _mont_mul(df, a, a)
 
 
 def fpow(df: DeviceField, a, exponent: int):

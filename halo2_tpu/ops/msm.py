@@ -1,0 +1,112 @@
+"""Multi-scalar multiplication (Pippenger) as a TPU device program.
+
+Replaces the reference's thread-parallel bucket MSM (`best_multiexp`,
+halo2_proofs/src/arithmetic.rs:143-180) with a sort + segmented-scan
+formulation that has no scalar loops:
+
+  per 8-bit window (lax.scan over the 32 windows, Horner-combined with 8
+  doublings between windows):
+    1. sort points by window digit          (jnp.argsort — XLA sort)
+    2. segmented associative_scan group-add (log-depth, branchless padd)
+    3. scatter last-of-segment into buckets (unique indices by construction)
+    4. suffix-sum buckets (reverse associative_scan) + log-depth tree sum
+       == summation by parts (`Buckets::sum`, arithmetic.rs:74-93)
+
+The group law is exact integer arithmetic, so any evaluation order gives
+bit-identical results — the schedule is free, only the result must match
+(`test_multiexp` oracle, arithmetic.rs:440-458).
+
+Multi-chip: shard points/scalars along n, run this per shard, reduce the
+32 per-window partials (or the final point) with a group-add psum — see
+halo2_tpu/parallel.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.device import DeviceField, NLIMBS, from_mont
+from ..curves.device import (DeviceCurve, JPoint, padd, pdouble, pselect,
+                             tree_sum)
+
+WINDOW_BITS = 8
+NUM_WINDOWS = 32  # 256 / 8
+NUM_BUCKETS = 1 << WINDOW_BITS  # digit range; bucket 0 unused
+
+
+def scalar_window_digits(scalar_digits16: jnp.ndarray) -> jnp.ndarray:
+    """Canonical 16-bit digit array [n, 16] -> [NUM_WINDOWS, n] of 8-bit
+    window digits (LSB window first)."""
+    lo = scalar_digits16 & 0xFF
+    hi = scalar_digits16 >> 8
+    inter = jnp.stack([lo, hi], axis=-1).reshape(
+        scalar_digits16.shape[0], NUM_WINDOWS)
+    return inter.T
+
+
+def _window_sum(cv: DeviceCurve, digits: jnp.ndarray, pts: JPoint) -> JPoint:
+    """Sum_i digit_i * P_i for 8-bit digits via sorted segmented scan."""
+    n = digits.shape[0]
+    order = jnp.argsort(digits)
+    ds = digits[order]
+    P = JPoint(pts.x[order], pts.y[order], pts.z[order])
+
+    # start-of-segment flags
+    prev = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, ds.dtype), ds[:-1]])
+    start = (ds != prev)
+
+    def combine(a, b):
+        pa, fa = a
+        pb, fb = b
+        merged = padd(cv, pa, pb)
+        out = pselect(fb.astype(jnp.bool_), pb, merged)
+        return (out, fa | fb)
+
+    scanned, _ = jax.lax.associative_scan(
+        combine, (P, start.astype(jnp.uint32)), axis=0)
+
+    nxt = jnp.concatenate([ds[1:], jnp.full((1,), 0xFFFFFFFF, ds.dtype)])
+    is_last = ds != nxt
+    # each segment has exactly one last element -> unique scatter targets;
+    # digit 0 and non-last entries go to the dump slot NUM_BUCKETS.
+    target = jnp.where(is_last & (ds > 0), ds, NUM_BUCKETS).astype(jnp.int32)
+
+    ident = cv.identity((NUM_BUCKETS + 1,))
+    buckets = JPoint(
+        ident.x.at[target].set(scanned.x),
+        ident.y.at[target].set(scanned.y),
+        ident.z.at[target].set(scanned.z),
+    )
+    b = JPoint(buckets.x[1:NUM_BUCKETS], buckets.y[1:NUM_BUCKETS],
+               buckets.z[1:NUM_BUCKETS])  # buckets 1..255
+    suffix = jax.lax.associative_scan(lambda u, v: padd(cv, u, v), b,
+                                      axis=0, reverse=True)
+    return tree_sum(cv, suffix, axis=0)
+
+
+def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
+    """MSM: scalars as canonical (non-Montgomery) 16-bit digit arrays
+    [n, 16], points as a JPoint batch [n]. Returns a single JPoint."""
+    windows = scalar_window_digits(scalar_digits16)  # [32, n] LSB first
+    windows_msb = windows[::-1]
+
+    def body(carry, digits_w):
+        for _ in range(WINDOW_BITS):
+            carry = pdouble(cv, carry)
+        w = _window_sum(cv, digits_w, pts)
+        return padd(cv, carry, w), None
+
+    out, _ = jax.lax.scan(body, cv.identity(()), windows_msb)
+    return out
+
+
+def scalars_to_digits(df: DeviceField, scalars_mont: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-form field array [n,16] -> canonical digit array [n,16]."""
+    return from_mont(df, scalars_mont)
+
+
+def msm_mont(cv: DeviceCurve, scalars_mont: jnp.ndarray, pts: JPoint) -> JPoint:
+    """MSM taking Montgomery-form scalars (the common case: polynomial
+    coefficients live in Montgomery form on device)."""
+    return msm(cv, scalars_to_digits(cv.scalar, scalars_mont), pts)

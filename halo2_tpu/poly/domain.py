@@ -1,0 +1,142 @@
+"""EvaluationDomain: 2^k base domain + zeta-coset extended domain.
+
+Faithful port of the math of halo2_proofs/src/poly/domain.rs:19-498 with
+device-resident tables: twiddle plans for both domain sizes, the zeta-power
+coset pattern, and the inverted vanishing evaluations t(ζ·ω_ext^i)^{-1}
+(only 2^(extended_k - k) distinct values, tiled — domain.rs:88-111).
+All heavy transforms (lagrange_to_coeff, coeff_to_extended,
+extended_to_coeff, divide_by_vanishing_poly) are single jit-friendly device
+programs built on the NTT kernels.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.host import FieldSpec
+from ..fields.device import DeviceField, NLIMBS, fmul
+from ..ops.ntt import NttPlan, make_plan, ntt, int_to_limbs
+from .polynomial import Rotation
+
+
+class EvaluationDomain:
+    def __init__(self, df: DeviceField, j: int, k: int):
+        """j = circuit degree (quotient_poly_degree + 1), k = log2(rows)."""
+        spec = df.spec
+        p = spec.modulus
+        self.df = df
+        self.k = k
+        self.n = 1 << k
+        self.quotient_poly_degree = j - 1
+        extended_k = k
+        while (1 << extended_k) < self.n * self.quotient_poly_degree:
+            extended_k += 1
+        assert extended_k <= spec.s
+        self.extended_k = extended_k
+        self.extended_n = 1 << extended_k
+
+        self.extended_omega = pow(spec.root_of_unity,
+                                  1 << (spec.s - extended_k), p)
+        self.omega = pow(self.extended_omega, 1 << (extended_k - k), p)
+        self.omega_inv = pow(self.omega, p - 2, p)
+        self.extended_omega_inv = pow(self.extended_omega, p - 2, p)
+        self.g_coset = spec.zeta
+        self.g_coset_inv = spec.zeta * spec.zeta % p
+        self.barycentric_weight = pow(self.n, p - 2, p)
+
+        # t(X) = X^n - 1 on the coset: t(ζ ω_ext^i) = ζ^n ω_ext^{ni} - 1,
+        # periodic with 2^(extended_k - k) distinct values (domain.rs:88-111)
+        orig = pow(spec.zeta, self.n, p)
+        step = pow(self.extended_omega, self.n, p)
+        t_evals = []
+        cur = orig
+        while True:
+            t_evals.append((cur - 1) % p)
+            cur = cur * step % p
+            if cur == orig:
+                break
+        assert len(t_evals) == 1 << (extended_k - k)
+        t_inv = [pow(t, p - 2, p) for t in t_evals]
+        reps = self.extended_n // len(t_inv)
+        self._t_inv_tiled = jnp.asarray(
+            np.tile(np.asarray(df.to_mont_np(t_inv)).reshape(-1, NLIMBS),
+                    (reps, 1)))
+
+        # zeta-power coset patterns: index i gets [1, ζ, ζ²][i % 3]
+        # (into coset) or [1, ζ², ζ][i % 3] (out of coset) — domain.rs:357-373
+        def pattern(c0, c1, length):
+            vals = [[1, c0, c1][i % 3] for i in range(length)]
+            return jnp.asarray(np.asarray(df.to_mont_np(vals))
+                               .reshape(length, NLIMBS))
+        self._coset_in = pattern(self.g_coset, self.g_coset_inv, self.n)
+        self._coset_out_ext = pattern(self.g_coset_inv, self.g_coset,
+                                      self.extended_n)
+
+        # NTT plans
+        self.plan = make_plan(df, self.n, self.omega)
+        self.plan_inv = make_plan(df, self.n, self.omega_inv)
+        self.plan_ext = make_plan(df, self.extended_n, self.extended_omega)
+        self.plan_ext_inv = make_plan(df, self.extended_n,
+                                      self.extended_omega_inv)
+        self._ifft_divisor = jnp.asarray(int_to_limbs(
+            pow(self.n, p - 2, p) * (1 << 256) % p))
+        self._ext_ifft_divisor = jnp.asarray(int_to_limbs(
+            pow(self.extended_n, p - 2, p) * (1 << 256) % p))
+
+    # ---------------- transforms (device) ----------------
+    def lagrange_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
+        assert values.shape[0] == self.n
+        x = ntt(self.df, values, self.plan_inv)
+        return fmul(self.df, x,
+                    jnp.broadcast_to(self._ifft_divisor, x.shape))
+
+    def coeff_to_lagrange(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        return ntt(self.df, coeffs, self.plan)
+
+    def coeff_to_extended(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        assert coeffs.shape[0] == self.n
+        a = fmul(self.df, coeffs, self._coset_in)
+        pad = jnp.zeros((self.extended_n - self.n, NLIMBS), dtype=a.dtype)
+        return ntt(self.df, jnp.concatenate([a, pad], axis=0), self.plan_ext)
+
+    def extended_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
+        """iFFT + un-coset; returns all extended_n coefficients (caller
+        truncates to n * quotient_poly_degree, domain.rs:303-325)."""
+        assert values.shape[0] == self.extended_n
+        x = ntt(self.df, values, self.plan_ext_inv)
+        x = fmul(self.df, x,
+                 jnp.broadcast_to(self._ext_ifft_divisor, x.shape))
+        return fmul(self.df, x, self._coset_out_ext)
+
+    def divide_by_vanishing_poly(self, values: jnp.ndarray) -> jnp.ndarray:
+        return fmul(self.df, values, self._t_inv_tiled)
+
+    def rotate_extended(self, values: jnp.ndarray, rotation: int
+                        ) -> jnp.ndarray:
+        shift = (1 << (self.extended_k - self.k)) * rotation
+        return jnp.roll(values, -shift, axis=0)
+
+    # ---------------- host scalar helpers ----------------
+    def rotate_omega(self, value: int, rotation: int) -> int:
+        p = self.df.spec.modulus
+        if rotation >= 0:
+            return value * pow(self.omega, rotation, p) % p
+        return value * pow(self.omega_inv, -rotation, p) % p
+
+    def l_i_range(self, x: int, xn: int, rotations) -> list[int]:
+        """Barycentric evaluations of Lagrange basis polys l_i(x) for i over
+        `rotations` (domain.rs:447-472). Host-side O(|rotations|)."""
+        p = self.df.spec.modulus
+        results = [(x - self.rotate_omega(1, rot)) % p for rot in rotations]
+        results = [pow(r, p - 2, p) for r in results]
+        common = (xn - 1) * self.barycentric_weight % p
+        return [self.rotate_omega(r * common % p, rot)
+                for rot, r in zip(rotations, results)]
+
+    def pinned(self) -> dict:
+        """Minimal parameters determining the domain
+        (PinnedEvaluationDomain, domain.rs:482-498)."""
+        return {"k": self.k, "extended_k": self.extended_k,
+                "omega": self.omega}

@@ -1,0 +1,91 @@
+"""Device polynomial utilities: powers, Horner evaluation, inner product,
+Kate division — all reformulated as log-depth scans (the reference's serial
+recurrences, halo2_proofs/src/arithmetic.rs:298-341, are the patterns TPU
+cannot run as written; SURVEY.md §2.5.6)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.device import (DeviceField, NLIMBS, fadd, fsub, fmul, finv,
+                             fselect)
+
+
+def powers(df: DeviceField, x_mont: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[1, x, x^2, ..., x^{n-1}] as [n, 16] mont, via inclusive scan."""
+    if n == 1:
+        return df.ones((1,))
+    xs = jnp.broadcast_to(x_mont, (n, NLIMBS))
+    xs = jnp.concatenate([df.ones((1,)), xs[1:]], axis=0)
+    return jax.lax.associative_scan(lambda a, b: fmul(df, a, b), xs, axis=0)
+
+
+def tree_add(df: DeviceField, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Log-depth field sum along axis; returns the reduced array with that
+    axis removed."""
+    n = a.shape[axis]
+    cur = a
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(cur, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(cur, half, 2 * half, axis=axis)
+        s = fadd(df, lo, hi)
+        if n % 2 == 1:
+            rem = jax.lax.slice_in_dim(cur, 2 * half, n, axis=axis)
+            s = jnp.concatenate([s, rem], axis=axis)
+            n = half + 1
+        else:
+            n = half
+        cur = s
+    return jax.lax.index_in_dim(cur, 0, axis=axis, keepdims=False)
+
+
+def eval_poly(df: DeviceField, coeffs: jnp.ndarray, x_mont: jnp.ndarray
+              ) -> jnp.ndarray:
+    """p(x) = sum coeffs[i] x^i. Replaces serial Horner
+    (arithmetic.rs:298-303) with powers-scan + log-depth dot."""
+    n = coeffs.shape[0]
+    pw = powers(df, x_mont, n)
+    return tree_add(df, fmul(df, coeffs, pw), axis=0)
+
+
+def inner_product(df: DeviceField, a: jnp.ndarray, b: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """sum a_i * b_i (arithmetic.rs:308-318)."""
+    return tree_add(df, fmul(df, a, b), axis=0)
+
+
+def kate_division(df: DeviceField, coeffs: jnp.ndarray, b_mont: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """q(X) = (p(X) - p(b)) / (X - b), dropping the remainder: the quotient
+    coefficients are q_i = sum_{j>i} a_j b^{j-i-1}.
+
+    Replaces the serial backward recurrence (arithmetic.rs:322-341) with:
+    powers scan, suffix-sum scan, inverse-powers rescale — exact field
+    arithmetic throughout. Requires b != 0 (true for Fiat–Shamir points
+    with overwhelming probability; asserted by the caller)."""
+    n = coeffs.shape[0]
+    pw = powers(df, b_mont, n)                      # b^j
+    u = fmul(df, coeffs, pw)                        # a_j b^j
+    suf = jax.lax.associative_scan(lambda x, y: fadd(df, x, y), u,
+                                   axis=0, reverse=True)
+    # T_i = sum_{j >= i+1} a_j b^j  (shift the inclusive suffix left by one)
+    t = jnp.concatenate([suf[1:], df.zeros((1,))], axis=0)
+    binv = finv(df, b_mont)
+    ipw = powers(df, binv, n)                       # b^-i
+    ipw1 = fmul(df, ipw, jnp.broadcast_to(binv, (n, NLIMBS)))  # b^-(i+1)
+    q = fmul(df, t, ipw1)
+    # quotient has degree n-2; q[n-1] = 0 by construction
+    return q[:-1]
+
+
+def distribute_powers(df: DeviceField, arrays, base_mont: jnp.ndarray):
+    """Fold several equal-length arrays with increasing powers of `base`:
+    sum_i base^i * arrays[i] (the reference's Ast::distribute_powers /
+    y-folding of constraint expressions)."""
+    acc = arrays[0]
+    cur = None
+    for i, arr in enumerate(arrays[1:], start=1):
+        cur = base_mont if cur is None else fmul(df, cur, base_mont)
+        acc = fadd(df, acc, fmul(df, arr, jnp.broadcast_to(cur, arr.shape)))
+    return acc
