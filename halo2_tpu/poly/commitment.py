@@ -1,0 +1,453 @@
+"""IPA polynomial commitment scheme (Halo-style, transparent setup).
+
+Reference: halo2_proofs/src/poly/commitment.rs (+ msm.rs, prover.rs,
+verifier.rs). Structure preserved exactly — SRS derivation via
+hash_to_curve("Halo2-Parameters") with messages [0, i_le4] / [1] / [2]
+(commitment.rs:38-114), commit = MSM(coeffs ‖ blind, g ‖ w)
+(commitment.rs:119-150), serialization format (commitment.rs:169-205),
+log-round IPA open (commitment/prover.rs:27-152), Guard-based verify with
+challenge-expansion and claimed-G exits (commitment/verifier.rs:13-171).
+
+TPU split: the SRS and all polynomial vectors live on device; every O(n)
+operation (commits, L/R cross terms, inner products, vector collapses,
+G' folding) is a device kernel. The verifier's deferred-MSM accumulator is
+host-side symbolic algebra (O(proof size)) flattened into ONE device MSM at
+`eval()` — exactly the reference's design, with rayon swapped for the mesh.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.host import FieldSpec, batch_invert
+from ..fields.device import NLIMBS, fadd, fmul, from_mont
+from ..curves.host import CurveSpec, PALLAS, VESTA, Point
+from ..curves.device import (DeviceCurve, JPoint, PALLAS_DEV, VESTA_DEV,
+                             batch_scalar_mul, normalize, padd)
+from ..curves.sswu import hash_to_curve
+from ..ops.ntt import make_plan, group_ntt
+from ..ops.msm import msm_mont, msm
+from .utils import inner_product, eval_poly
+
+_SRS_CACHE = os.path.join(os.path.dirname(__file__), "..", "..", ".srs_cache")
+
+
+def _digits16_np(v: int) -> np.ndarray:
+    return np.array([(v >> (16 * i)) & 0xFFFF for i in range(16)], np.uint32)
+
+
+class Params:
+    """Transparent SRS for one curve and size 2^k."""
+
+    def __init__(self, curve: CurveSpec, k: int, g: list[Point],
+                 g_lagrange: list[Point], w: Point, u: Point):
+        assert k < 32
+        self.curve = curve
+        self.dev = PALLAS_DEV if curve.name == "pallas" else VESTA_DEV
+        self.k = k
+        self.n = 1 << k
+        self.g = g
+        self.g_lagrange = g_lagrange
+        self.w = w
+        self.u = u
+        self.g_dev = self.dev.points_to_device(g)
+        self.g_lagrange_dev = self.dev.points_to_device(g_lagrange)
+        self._w_dev = self.dev.points_to_device([w])
+        self.scalar_df = self.dev.scalar
+
+    # ----------------- construction -----------------
+    @classmethod
+    def new(cls, curve: CurveSpec, k: int, use_cache: bool = True) -> "Params":
+        cache = os.path.join(_SRS_CACHE, f"{curve.name}_{k}.params")
+        if use_cache and os.path.exists(cache):
+            with open(cache, "rb") as fh:
+                return cls.read(curve, fh.read())
+        n = 1 << k
+        g = []
+        for i in range(n):
+            msg = b"\x00" + int(i).to_bytes(4, "little")
+            g.append(hash_to_curve(curve, "Halo2-Parameters", msg))
+        w = hash_to_curve(curve, "Halo2-Parameters", b"\x01")
+        u = hash_to_curve(curve, "Halo2-Parameters", b"\x02")
+        g_lagrange = cls._build_lagrange(curve, k, g)
+        params = cls(curve, k, g, g_lagrange, w, u)
+        if use_cache:
+            os.makedirs(_SRS_CACHE, exist_ok=True)
+            with open(cache, "wb") as fh:
+                fh.write(params.write())
+        return params
+
+    @staticmethod
+    def _build_lagrange(curve: CurveSpec, k: int,
+                        g: list[Point]) -> list[Point]:
+        """g_lagrange = group-valued inverse FFT of g scaled by 1/n
+        (commitment.rs:75-100) — a device group-NTT."""
+        dev = PALLAS_DEV if curve.name == "pallas" else VESTA_DEV
+        fs = curve.scalar
+        n = 1 << k
+        omega = pow(fs.root_of_unity, 1 << (fs.s - k), fs.modulus)
+        omega_inv = pow(omega, fs.modulus - 2, fs.modulus)
+        plan = make_plan(dev.scalar, n, omega_inv)
+        pts = group_ntt(dev, dev.points_to_device(g), plan)
+        minv = pow(n, fs.modulus - 2, fs.modulus)
+        dig = jnp.broadcast_to(jnp.asarray(_digits16_np(minv))[None],
+                               (n, 16))
+        scaled = batch_scalar_mul(dev, pts, dig, nbits=255)
+        return dev.points_from_device(normalize(dev, scaled))
+
+    # ----------------- serialization (commitment.rs:169-205) ------------
+    def write(self) -> bytes:
+        out = bytearray()
+        out += int(self.k).to_bytes(4, "little")
+        for pt in self.g:
+            out += self.curve.to_bytes(pt)
+        for pt in self.g_lagrange:
+            out += self.curve.to_bytes(pt)
+        out += self.curve.to_bytes(self.w)
+        out += self.curve.to_bytes(self.u)
+        return bytes(out)
+
+    @classmethod
+    def read(cls, curve: CurveSpec, data: bytes) -> "Params":
+        k = int.from_bytes(data[:4], "little")
+        n = 1 << k
+        off = 4
+        def rd():
+            nonlocal off
+            pt = curve.from_bytes(data[off:off + 32])
+            assert pt is not False
+            off += 32
+            return pt
+        g = [rd() for _ in range(n)]
+        g_lagrange = [rd() for _ in range(n)]
+        w = rd()
+        u = rd()
+        return cls(curve, k, g, g_lagrange, w, u)
+
+    # ----------------- commitments -----------------
+    def _commit_inner(self, values_mont: jnp.ndarray, blind: int,
+                      bases: JPoint) -> Point:
+        fs = self.curve.scalar
+        scalars = from_mont(self.scalar_df, values_mont)
+        bdig = jnp.asarray(_digits16_np(blind % fs.modulus))[None]
+        scalars = jnp.concatenate([scalars, bdig], axis=0)
+        pts = JPoint(
+            jnp.concatenate([bases.x, self._w_dev.x], axis=0),
+            jnp.concatenate([bases.y, self._w_dev.y], axis=0),
+            jnp.concatenate([bases.z, self._w_dev.z], axis=0))
+        res = msm(self.dev, scalars, pts)
+        return self.dev.points_from_device(
+            normalize(self.dev, res))[0]
+
+    def commit(self, coeffs_mont: jnp.ndarray, blind: int) -> Point:
+        assert coeffs_mont.shape[0] == self.n
+        return self._commit_inner(coeffs_mont, blind, self.g_dev)
+
+    def commit_lagrange(self, values_mont: jnp.ndarray, blind: int) -> Point:
+        assert values_mont.shape[0] == self.n
+        return self._commit_inner(values_mont, blind, self.g_lagrange_dev)
+
+    def empty_msm(self) -> "MSMAccumulator":
+        return MSMAccumulator(self)
+
+
+DEFAULT_BLIND = 1  # Blind::default() == ONE (commitment.rs:209-216)
+
+
+class MSMAccumulator:
+    """Deferred linear combination of commitments — the verifier's entire
+    state (poly/commitment/msm.rs:10-170). Host-side symbolic algebra with
+    sign-aware merging keyed on x-coordinate; `eval()` flattens to one
+    device MSM and checks the identity."""
+
+    def __init__(self, params: Params):
+        self.params = params
+        self.fs = params.curve.scalar
+        self.g_scalars: list[int] | None = None
+        self.w_scalar: int | None = None
+        self.u_scalar: int | None = None
+        self.other: dict[int, tuple[int, int]] = {}  # x -> (scalar, y)
+
+    def clone(self) -> "MSMAccumulator":
+        c = MSMAccumulator(self.params)
+        c.g_scalars = None if self.g_scalars is None else list(self.g_scalars)
+        c.w_scalar = self.w_scalar
+        c.u_scalar = self.u_scalar
+        c.other = dict(self.other)
+        return c
+
+    def append_term(self, scalar: int, point: Point) -> None:
+        if point is None:
+            return
+        x, y = point
+        q = self.fs.modulus
+        if x in self.other:
+            s, oy = self.other[x]
+            if oy == y:
+                self.other[x] = ((s + scalar) % q, oy)
+            else:
+                assert oy == self.params.curve.base.neg(y)
+                self.other[x] = ((s - scalar) % q, oy)
+        else:
+            self.other[x] = (scalar % q, y)
+
+    def add_msm(self, other: "MSMAccumulator") -> None:
+        for x, (s, y) in other.other.items():
+            self.append_term(s, (x, y))
+        if other.g_scalars is not None:
+            self.add_to_g_scalars(other.g_scalars)
+        if other.w_scalar is not None:
+            self.add_to_w_scalar(other.w_scalar)
+        if other.u_scalar is not None:
+            self.add_to_u_scalar(other.u_scalar)
+
+    def add_constant_term(self, constant: int) -> None:
+        if self.g_scalars is None:
+            self.g_scalars = [0] * self.params.n
+        self.g_scalars[0] = (self.g_scalars[0] + constant) % self.fs.modulus
+
+    def add_to_g_scalars(self, scalars: list[int]) -> None:
+        assert len(scalars) == self.params.n
+        if self.g_scalars is None:
+            self.g_scalars = [s % self.fs.modulus for s in scalars]
+        else:
+            q = self.fs.modulus
+            self.g_scalars = [(a + b) % q
+                              for a, b in zip(self.g_scalars, scalars)]
+
+    def add_to_w_scalar(self, scalar: int) -> None:
+        self.w_scalar = ((self.w_scalar or 0) + scalar) % self.fs.modulus
+
+    def add_to_u_scalar(self, scalar: int) -> None:
+        self.u_scalar = ((self.u_scalar or 0) + scalar) % self.fs.modulus
+
+    def scale(self, factor: int) -> None:
+        q = self.fs.modulus
+        if self.g_scalars is not None:
+            self.g_scalars = [s * factor % q for s in self.g_scalars]
+        self.other = {x: (s * factor % q, y)
+                      for x, (s, y) in self.other.items()}
+        if self.w_scalar is not None:
+            self.w_scalar = self.w_scalar * factor % q
+        if self.u_scalar is not None:
+            self.u_scalar = self.u_scalar * factor % q
+
+    def eval(self) -> bool:
+        """Flatten to one device MSM; True iff the result is the identity."""
+        scalars: list[int] = []
+        bases: list[Point] = []
+        # deterministic order: sorted by x (BTreeMap iteration order)
+        for x in sorted(self.other):
+            s, y = self.other[x]
+            scalars.append(s)
+            bases.append((x, y))
+        if self.w_scalar is not None:
+            scalars.append(self.w_scalar)
+            bases.append(self.params.w)
+        if self.u_scalar is not None:
+            scalars.append(self.u_scalar)
+            bases.append(self.params.u)
+        if self.g_scalars is not None:
+            scalars.extend(self.g_scalars)
+            bases.extend(self.params.g)
+        if not scalars:
+            return True
+        dev = self.params.dev
+        digits = np.stack([_digits16_np(s) for s in scalars])
+        res = msm(dev, jnp.asarray(digits), dev.points_to_device(bases))
+        return dev.points_from_device(normalize(dev, res))[0] is None
+
+
+# ---------------------------------------------------------------------------
+# IPA open (commitment/prover.rs:27-152)
+# ---------------------------------------------------------------------------
+
+def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
+                     p_blind: int, x3: int) -> None:
+    """Open `p_poly` (coeff basis, device mont array) at x3. The transcript
+    must already contain P, v, x3."""
+    df = params.scalar_df
+    fs = params.curve.scalar
+    dev = params.dev
+    n, k = params.n, params.k
+    assert p_poly_mont.shape[0] == n
+
+    # random poly S with a root at x3 (prover.rs:45-58)
+    s_vals = [fs.rand(rng) for _ in range(n)]
+    s_poly = jnp.asarray(df.to_mont_np(s_vals))
+    s_at_x3 = int(df.from_mont_np(
+        np.asarray(eval_poly(df, s_poly, df.scalar(x3)))))
+    s_vals[0] = (s_vals[0] - s_at_x3) % fs.modulus
+    s_poly = jnp.asarray(df.to_mont_np(s_vals))
+    s_blind = fs.rand(rng)
+    transcript.write_point(params.commit(s_poly, s_blind))
+
+    xi = transcript.squeeze_challenge()
+    z = transcript.squeeze_challenge()
+
+    # P' = ξ·S + P ; subtract v = P'(x3) from constant term (prover.rs:69-78)
+    xi_m = df.scalar(xi)
+    p_prime = fadd(df, fmul(df, s_poly, jnp.broadcast_to(xi_m, s_poly.shape)),
+                   p_poly_mont)
+    v = int(df.from_mont_np(
+        np.asarray(eval_poly(df, p_prime, df.scalar(x3)))))
+    vm = df.to_mont_np([v]).reshape(1, NLIMBS)
+    from ..fields.device import fsub
+    p_prime = jnp.concatenate(
+        [fsub(df, p_prime[0:1], jnp.asarray(vm)), p_prime[1:]], axis=0)
+    f = (s_blind * xi + p_blind) % fs.modulus
+
+    # b = powers of x3
+    from .utils import powers
+    b = powers(df, df.scalar(x3), n)
+    g_prime = JPoint(params.g_dev.x, params.g_dev.y, params.g_dev.z)
+
+    for j in range(k):
+        half = 1 << (k - j - 1)
+        l_j = msm_mont(dev, p_prime[half:], _slice_pts(g_prime, 0, half))
+        r_j = msm_mont(dev, p_prime[:half], _slice_pts(g_prime, half, 2 * half))
+        value_l = int(df.from_mont_np(np.asarray(
+            inner_product(df, p_prime[half:], b[:half]))))
+        value_r = int(df.from_mont_np(np.asarray(
+            inner_product(df, p_prime[:half], b[half:]))))
+        l_rand = fs.rand(rng)
+        r_rand = fs.rand(rng)
+        # L_j += [v_l z] U + [l_rand] W  (host: 2-term multiexp)
+        cur = params.curve
+        l_pt = dev.points_from_device(normalize(dev, l_j))[0]
+        r_pt = dev.points_from_device(normalize(dev, r_j))[0]
+        l_pt = cur.add(l_pt, cur.add(cur.mul(params.u, value_l * z % fs.modulus),
+                                     cur.mul(params.w, l_rand)))
+        r_pt = cur.add(r_pt, cur.add(cur.mul(params.u, value_r * z % fs.modulus),
+                                     cur.mul(params.w, r_rand)))
+        transcript.write_point(l_pt)
+        transcript.write_point(r_pt)
+
+        u_j = transcript.squeeze_challenge()
+        u_j_inv = fs.inv(u_j)
+
+        uj_m = df.scalar(u_j)
+        ujinv_m = df.scalar(u_j_inv)
+        p_prime = fadd(df, p_prime[:half],
+                       fmul(df, p_prime[half:],
+                            jnp.broadcast_to(ujinv_m, (half, NLIMBS))))
+        b = fadd(df, b[:half],
+                 fmul(df, b[half:], jnp.broadcast_to(uj_m, (half, NLIMBS))))
+        # G' collapse: g_lo + [u_j] g_hi (prover.rs:154-166)
+        dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
+                               (half, 16))
+        hi_mul = batch_scalar_mul(dev, _slice_pts(g_prime, half, 2 * half),
+                                  dig, nbits=255)
+        g_prime = padd(dev, _slice_pts(g_prime, 0, half), hi_mul)
+
+        f = (f + l_rand * u_j_inv + r_rand * u_j) % fs.modulus
+
+    c = int(df.from_mont_np(np.asarray(p_prime[0])))
+    transcript.write_scalar(c)
+    transcript.write_scalar(f)
+
+
+def _slice_pts(pts: JPoint, lo: int, hi: int) -> JPoint:
+    return JPoint(pts.x[lo:hi], pts.y[lo:hi], pts.z[lo:hi])
+
+
+# ---------------------------------------------------------------------------
+# IPA verify (commitment/verifier.rs:66-171)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Accumulator:
+    g: Point
+    u_packed: list[int]
+
+
+class Guard:
+    """Deferred final check with two exits (commitment/verifier.rs:13-60)."""
+
+    def __init__(self, msm_acc: MSMAccumulator, neg_c: int, u: list[int]):
+        self.msm = msm_acc
+        self.neg_c = neg_c
+        self.u = u
+
+    def use_challenges(self) -> MSMAccumulator:
+        s = compute_s(self.msm.fs, self.u, self.neg_c)
+        self.msm.add_to_g_scalars(s)
+        return self.msm
+
+    def use_g(self, g: Point) -> tuple[MSMAccumulator, Accumulator]:
+        self.msm.append_term(self.neg_c, g)
+        return self.msm, Accumulator(g=g, u_packed=list(self.u))
+
+    def compute_g(self) -> Point:
+        """G = <s, params.g> via one device MSM."""
+        s = compute_s(self.msm.fs, self.u, 1)
+        params = self.msm.params
+        dev = params.dev
+        digits = np.stack([_digits16_np(x) for x in s])
+        res = msm(dev, jnp.asarray(digits), params.g_dev)
+        return dev.points_from_device(normalize(dev, res))[0]
+
+
+class OpeningError(Exception):
+    pass
+
+
+def ipa_verify_proof(params: Params, msm_acc: MSMAccumulator, transcript,
+                     x: int, v: int) -> Guard:
+    fs = params.curve.scalar
+    k = params.k
+    msm_acc.add_constant_term((-v) % fs.modulus)
+    s_commitment = transcript.read_point()
+    xi = transcript.squeeze_challenge()
+    msm_acc.append_term(xi, s_commitment)
+    z = transcript.squeeze_challenge()
+
+    rounds = []
+    for _ in range(k):
+        l = transcript.read_point()
+        r = transcript.read_point()
+        u_j = transcript.squeeze_challenge()
+        rounds.append((l, r, u_j))
+    u_invs = batch_invert(fs, [u_j for (_, _, u_j) in rounds])
+
+    u = []
+    for (l, r, u_j), u_j_inv in zip(rounds, u_invs):
+        msm_acc.append_term(u_j_inv, l)
+        msm_acc.append_term(u_j, r)
+        u.append(u_j)
+
+    c = transcript.read_scalar()
+    neg_c = (-c) % fs.modulus
+    f = transcript.read_scalar()
+    b = compute_b(fs, x, u)
+
+    msm_acc.add_to_u_scalar(neg_c * b % fs.modulus * z % fs.modulus)
+    msm_acc.add_to_w_scalar((-f) % fs.modulus)
+    return Guard(msm_acc, neg_c, u)
+
+
+def compute_b(fs: FieldSpec, x: int, u: list[int]) -> int:
+    """prod (1 + u_{k-1-i} x^{2^i}) (commitment/verifier.rs:145-153)."""
+    q = fs.modulus
+    tmp, cur = 1, x
+    for u_j in reversed(u):
+        tmp = tmp * (1 + u_j * cur) % q
+        cur = cur * cur % q
+    return tmp
+
+
+def compute_s(fs: FieldSpec, u: list[int], init: int) -> list[int]:
+    """Coefficients of g(X) = prod (1 + u_{k-1-i} X^{2^i}), scaled by init
+    (commitment/verifier.rs:156-171) — log-depth tensor expansion."""
+    q = fs.modulus
+    v = [0] * (1 << len(u))
+    v[0] = init % q
+    length = 1
+    for u_j in reversed(u):
+        for i in range(length):
+            v[length + i] = v[i] * u_j % q
+        length *= 2
+    return v

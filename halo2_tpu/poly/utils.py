@@ -80,12 +80,11 @@ def kate_division(df: DeviceField, coeffs: jnp.ndarray, b_mont: jnp.ndarray
 
 
 def distribute_powers(df: DeviceField, arrays, base_mont: jnp.ndarray):
-    """Fold several equal-length arrays with increasing powers of `base`:
-    sum_i base^i * arrays[i] (the reference's Ast::distribute_powers /
-    y-folding of constraint expressions)."""
+    """Horner-fold arrays with `base`: acc = acc * base + term, i.e.
+    sum_i base^{m-1-i} * arrays[i] — exactly Ast::DistributePowers
+    (poly/evaluator.rs:186-196) and the verifier's expected_h_eval fold."""
     acc = arrays[0]
-    cur = None
-    for i, arr in enumerate(arrays[1:], start=1):
-        cur = base_mont if cur is None else fmul(df, cur, base_mont)
-        acc = fadd(df, acc, fmul(df, arr, jnp.broadcast_to(cur, arr.shape)))
+    for arr in arrays[1:]:
+        acc = fadd(df, fmul(df, acc, jnp.broadcast_to(base_mont, acc.shape)),
+                   arr)
     return acc
