@@ -217,10 +217,11 @@ class Negated(Expression):
     def degree(self):
         return self.expr.degree()
 
-    def evaluate(self, *fns):
-        (constant, selector_fn, fixed_fn, advice_fn, instance_fn,
-         negated, sum_fn, product, scaled) = fns
-        return negated(self.expr.evaluate(*fns))
+    def evaluate(self, constant, selector_fn, fixed_fn, advice_fn,
+                 instance_fn, negated, sum_fn, product, scaled):
+        return negated(self.expr.evaluate(
+            constant, selector_fn, fixed_fn, advice_fn, instance_fn,
+            negated, sum_fn, product, scaled))
 
 
 @dataclass(frozen=True)
@@ -231,8 +232,10 @@ class Sum(Expression):
     def degree(self):
         return max(self.a.degree(), self.b.degree())
 
-    def evaluate(self, *fns):
-        sum_fn = fns[6]
+    def evaluate(self, constant, selector_fn, fixed_fn, advice_fn,
+                 instance_fn, negated, sum_fn, product, scaled):
+        fns = (constant, selector_fn, fixed_fn, advice_fn, instance_fn,
+               negated, sum_fn, product, scaled)
         return sum_fn(self.a.evaluate(*fns), self.b.evaluate(*fns))
 
 
@@ -244,8 +247,10 @@ class Product(Expression):
     def degree(self):
         return self.a.degree() + self.b.degree()
 
-    def evaluate(self, *fns):
-        product = fns[7]
+    def evaluate(self, constant, selector_fn, fixed_fn, advice_fn,
+                 instance_fn, negated, sum_fn, product, scaled):
+        fns = (constant, selector_fn, fixed_fn, advice_fn, instance_fn,
+               negated, sum_fn, product, scaled)
         return product(self.a.evaluate(*fns), self.b.evaluate(*fns))
 
 
@@ -257,8 +262,10 @@ class Scaled(Expression):
     def degree(self):
         return self.expr.degree()
 
-    def evaluate(self, *fns):
-        scaled = fns[8]
+    def evaluate(self, constant, selector_fn, fixed_fn, advice_fn,
+                 instance_fn, negated, sum_fn, product, scaled):
+        fns = (constant, selector_fn, fixed_fn, advice_fn, instance_fn,
+               negated, sum_fn, product, scaled)
         return scaled(self.expr.evaluate(*fns), self.scalar)
 
 

@@ -1,0 +1,201 @@
+"""Key generation: keygen_vk / keygen_pk.
+
+Reference: halo2_proofs/src/plonk/keygen.rs —
+  create_domain (:25-44), Assembly assignment sink recording fixed cells /
+  selectors / copies with usable_rows enforcement (:46-186),
+  keygen_vk (:189-244), keygen_pk (:247-337: fixed coeff+coset forms,
+  permutation pk, l0/l_blind/l_last indicator polys in extended basis).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.device import NLIMBS
+from ..poly.domain import EvaluationDomain
+from ..poly.commitment import Params, DEFAULT_BLIND
+from ..circuit.value import Value, SynthesisError
+from ..circuit.layouter import SingleChipLayouter, Circuit
+from .circuit import ConstraintSystem, Column, Selector, FIXED
+from .assigned import Assigned, batch_evaluate_assigned
+from .compress_selectors import compress_selectors
+from .permutation import PermutationAssembly, build_vk, build_pk
+from .keys import VerifyingKey, ProvingKey
+
+
+class NotEnoughRowsAvailable(Exception):
+    def __init__(self, current_k):
+        self.current_k = current_k
+        super().__init__(
+            f"k = {current_k} is too small for the given circuit; "
+            f"try using a larger value of k")
+
+
+def create_domain(params: Params, circuit_cls) -> tuple[
+        ConstraintSystem, EvaluationDomain, object]:
+    cs = ConstraintSystem()
+    config = circuit_cls.configure(cs)
+    degree = cs.degree()
+    domain = EvaluationDomain(params.scalar_df, degree, params.k)
+    return cs, domain, config
+
+
+class Assembly:
+    """keygen Assignment sink (keygen.rs:46-186)."""
+
+    def __init__(self, cs: ConstraintSystem, params: Params, fs):
+        self.fs = fs
+        n = params.n
+        self.k = params.k
+        self.fixed: list[list[Assigned]] = [
+            [Assigned.zero()] * n for _ in range(cs.num_fixed_columns)]
+        self.permutation = PermutationAssembly(n, cs.permutation)
+        self.selectors: list[list[bool]] = [
+            [False] * n for _ in range(cs.num_selectors)]
+        self.usable_rows = n - (cs.blinding_factors() + 1)
+
+    # ---- Assignment interface ----
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def enable_selector(self, annotation, selector: Selector, row: int):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        self.selectors[selector.index][row] = True
+
+    def query_instance(self, column, row: int) -> Value:
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        return Value.unknown()
+
+    def assign_advice(self, annotation, column, row, to):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        # advice is ignored during keygen (but the closure may raise)
+
+    def assign_fixed(self, annotation, column: Column, row: int, to):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        v = to()
+        v = v if isinstance(v, Value) else Value.known(v)
+        if v.is_known():
+            inner = v.inner()
+            self.fixed[column.index][row] = (
+                inner if isinstance(inner, Assigned)
+                else Assigned.trivial(inner % self.fs.modulus))
+
+    def copy(self, left_column, left_row, right_column, right_row):
+        if left_row >= self.usable_rows or right_row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        self.permutation.copy(left_column, left_row, right_column, right_row)
+
+    def fill_from_row(self, column: Column, from_row: int, value: Value):
+        if from_row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        inner = value.inner() if isinstance(value, Value) else value
+        if inner is None:
+            raise SynthesisError("table default value unknown")
+        filler = (inner if isinstance(inner, Assigned)
+                  else Assigned.trivial(inner % self.fs.modulus))
+        col = self.fixed[column.index]
+        for row in range(from_row, self.usable_rows):
+            col[row] = filler
+
+    def push_namespace(self, name):
+        pass
+
+    def pop_namespace(self, gadget_name=None):
+        pass
+
+
+def _synthesize(circuit: Circuit, config, assembly, constants):
+    layouter = SingleChipLayouter(assembly, constants)
+    circuit.synthesize(config, layouter)
+
+
+def _pack_columns(df, fs, columns: list[list[Assigned]]) -> list[jnp.ndarray]:
+    """Batch-evaluate Assigned columns and pack to device arrays."""
+    out = []
+    for col in columns:
+        ints = batch_evaluate_assigned(fs, col)
+        out.append(jnp.asarray(
+            np.asarray(df.to_mont_np(ints)).reshape(len(ints), NLIMBS)))
+    return out
+
+
+def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
+    """keygen.rs:189-244."""
+    fs = params.curve.scalar
+    df = params.scalar_df
+    cs, domain, config = create_domain(params, type(circuit))
+    if params.n < cs.minimum_rows():
+        raise NotEnoughRowsAvailable(params.k)
+
+    assembly = Assembly(cs, params, fs)
+    _synthesize(circuit.without_witnesses(), config, assembly, cs.constants)
+
+    cs, selector_polys = compress_selectors(cs, assembly.selectors)
+    fixed_device = _pack_columns(df, fs, assembly.fixed)
+    for poly in selector_polys:
+        fixed_device.append(jnp.asarray(
+            np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
+
+    permutation_vk = build_vk(params, domain, assembly.permutation)
+    fixed_commitments = [params.commit_lagrange(f, DEFAULT_BLIND)
+                         for f in fixed_device]
+    return VerifyingKey(
+        curve=params.curve, domain=domain,
+        fixed_commitments=fixed_commitments,
+        permutation_commitments=permutation_vk,
+        cs=cs, cs_degree=cs.degree(), selectors=assembly.selectors)
+
+
+def keygen_pk(params: Params, vk: VerifyingKey,
+              circuit: Circuit) -> ProvingKey:
+    """keygen.rs:247-337 (re-synthesizes with a fresh ConstraintSystem so
+    queries/columns match the vk's post-compression layout)."""
+    fs = params.curve.scalar
+    df = params.scalar_df
+    cs = ConstraintSystem()
+    config = type(circuit).configure(cs)
+    domain = vk.domain
+    if params.n < cs.minimum_rows():
+        raise NotEnoughRowsAvailable(params.k)
+
+    assembly = Assembly(cs, params, fs)
+    _synthesize(circuit.without_witnesses(), config, assembly, cs.constants)
+
+    cs, selector_polys = compress_selectors(cs, assembly.selectors)
+    fixed_values = _pack_columns(df, fs, assembly.fixed)
+    for poly in selector_polys:
+        fixed_values.append(jnp.asarray(
+            np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
+
+    fixed_polys = [domain.lagrange_to_coeff(f) for f in fixed_values]
+    fixed_cosets = [domain.coeff_to_extended(p) for p in fixed_polys]
+
+    permutation_pk = build_pk(params, domain, assembly.permutation)
+
+    # indicator polynomials (keygen.rs:304-325)
+    n = params.n
+    blinding_factors = cs.blinding_factors()
+
+    def indicator(rows: list[int]) -> jnp.ndarray:
+        vals = [0] * n
+        for r in rows:
+            vals[r] = 1
+        lag = jnp.asarray(np.asarray(df.to_mont_np(vals)).reshape(n, NLIMBS))
+        return domain.coeff_to_extended(domain.lagrange_to_coeff(lag))
+
+    l0 = indicator([0])
+    l_blind = indicator(list(range(n - blinding_factors, n)))
+    l_last = indicator([n - blinding_factors - 1])
+
+    return ProvingKey(
+        vk=vk, l0=l0, l_blind=l_blind, l_last=l_last,
+        l_active_row_info=(blinding_factors,),
+        fixed_values=fixed_values, fixed_polys=fixed_polys,
+        fixed_cosets=fixed_cosets, permutation=permutation_pk)

@@ -1,0 +1,318 @@
+"""Lookup argument (halo2's permuted-pair Plookup variant).
+
+Reference: halo2_proofs/src/plonk/lookup/prover.rs —
+  commit_permuted (:76-243): θ-compress input/table expressions, permute
+  the pair (permute_expression_pair :563-647: sort input, table histogram),
+  commit A', S';
+  commit_product (:253-392): fraction batch + running product z;
+  construct (:401-477): the 5 constraint families;
+  evaluate/open (:481-552): 5 evals, ordering preserved.
+Verifier: lookup/verifier.rs:34-208.
+
+TPU notes: compression and the product assembly are device programs; the
+sort/histogram permutation is host-side for now (exact integer sort keyed
+on canonical values — device multi-limb sort is a perf follow-up); the
+grand product is an associative scan.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.device import (DeviceField, NLIMBS, fadd, fsub, fmul,
+                             batch_inv)
+from ..poly.utils import eval_poly
+from .circuit import LookupArgument, ConstraintSystem
+from .evaluation import evaluate_expression
+
+
+@dataclass
+class Permuted:
+    compressed_input: jnp.ndarray     # Lagrange values
+    compressed_table: jnp.ndarray
+    input_coset_expr: object          # Expression for coset evaluation
+    table_coset_expr: object
+    permuted_input: jnp.ndarray       # Lagrange
+    permuted_table: jnp.ndarray
+    permuted_input_poly: jnp.ndarray  # coeff
+    permuted_table_poly: jnp.ndarray
+    permuted_input_coset: jnp.ndarray
+    permuted_table_coset: jnp.ndarray
+    permuted_input_blind: int
+    permuted_table_blind: int
+
+
+@dataclass
+class CommittedLookup:
+    permuted: Permuted
+    product_poly: jnp.ndarray
+    product_coset: jnp.ndarray
+    product_blind: int
+
+
+def _compress(df, theta_m, arrays):
+    acc = None
+    for arr in arrays:
+        if acc is None:
+            acc = arr
+        else:
+            acc = fadd(df, fmul(df, acc, jnp.broadcast_to(theta_m, acc.shape)),
+                       arr)
+    return acc
+
+
+def lookup_commit_permuted(argument: LookupArgument, cs: ConstraintSystem,
+                           params, domain, theta: int,
+                           advice, fixed, instance,
+                           rng, transcript) -> Permuted:
+    """advice/fixed/instance: [n,16] Lagrange device arrays."""
+    df = params.scalar_df
+    fs = params.curve.scalar
+    n = params.n
+    theta_m = df.scalar(theta)
+
+    def values_of(exprs):
+        return [evaluate_expression(df, e, advice=advice, fixed=fixed,
+                                    instance=instance, rot_scale=1)
+                for e in exprs]
+
+    compressed_input = _compress(df, theta_m,
+                                 values_of(argument.input_expressions))
+    compressed_table = _compress(df, theta_m,
+                                 values_of(argument.table_expressions))
+    compressed_input = jnp.broadcast_to(compressed_input, (n, NLIMBS))
+    compressed_table = jnp.broadcast_to(compressed_table, (n, NLIMBS))
+
+    permuted_input, permuted_table = permute_expression_pair(
+        cs, params, rng, compressed_input, compressed_table)
+
+    def commit_values(values):
+        poly = domain.lagrange_to_coeff(values)
+        blind = fs.rand(rng)
+        commitment = params.commit_lagrange(values, blind)
+        return poly, blind, commitment
+
+    pi_poly, pi_blind, pi_comm = commit_values(permuted_input)
+    pt_poly, pt_blind, pt_comm = commit_values(permuted_table)
+    transcript.write_point(pi_comm)
+    transcript.write_point(pt_comm)
+
+    return Permuted(
+        compressed_input=compressed_input,
+        compressed_table=compressed_table,
+        input_coset_expr=argument.input_expressions,
+        table_coset_expr=argument.table_expressions,
+        permuted_input=permuted_input,
+        permuted_table=permuted_table,
+        permuted_input_poly=pi_poly,
+        permuted_table_poly=pt_poly,
+        permuted_input_coset=domain.coeff_to_extended(pi_poly),
+        permuted_table_coset=domain.coeff_to_extended(pt_poly),
+        permuted_input_blind=pi_blind,
+        permuted_table_blind=pt_blind,
+    )
+
+
+def permute_expression_pair(cs: ConstraintSystem, params, rng,
+                            input_values: jnp.ndarray,
+                            table_values: jnp.ndarray):
+    """lookup/prover.rs:563-647: sort input; first occurrence of each input
+    value is mirrored in the table column; remaining table rows are filled
+    with leftover table entries (in increasing order, popping repeated-row
+    positions from the back). Exact host algorithm on canonical ints."""
+    df = params.scalar_df
+    fs = params.curve.scalar
+    n = params.n
+    blinding_factors = cs.blinding_factors()
+    usable = n - (blinding_factors + 1)
+
+    inputs = [int(v) for v in df.from_mont_np(
+        np.asarray(input_values))[:usable]]
+    tables = [int(v) for v in df.from_mont_np(
+        np.asarray(table_values))[:usable]]
+
+    inputs.sort()
+    leftover: dict[int, int] = {}
+    for t in tables:
+        leftover[t] = leftover.get(t, 0) + 1
+
+    permuted_table = [0] * usable
+    repeated_rows = []
+    for row, v in enumerate(inputs):
+        if row == 0 or v != inputs[row - 1]:
+            permuted_table[row] = v
+            cnt = leftover.get(v)
+            if not cnt:
+                raise ValueError(
+                    "lookup input not contained in table "
+                    "(ConstraintSystemFailure)")
+            leftover[v] = cnt - 1
+        else:
+            repeated_rows.append(row)
+    # fill with leftovers in increasing key order (BTreeMap iteration)
+    for coeff in sorted(leftover):
+        for _ in range(leftover[coeff]):
+            permuted_table[repeated_rows.pop()] = coeff
+    assert not repeated_rows
+
+    inputs.extend(fs.rand(rng) for _ in range(blinding_factors + 1))
+    permuted_table.extend(fs.rand(rng) for _ in range(blinding_factors + 1))
+
+    pi = jnp.asarray(np.asarray(df.to_mont_np(inputs)).reshape(n, NLIMBS))
+    pt = jnp.asarray(np.asarray(df.to_mont_np(permuted_table))
+                     .reshape(n, NLIMBS))
+    return pi, pt
+
+
+def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
+                          domain, beta: int, gamma: int, rng, transcript
+                          ) -> CommittedLookup:
+    """lookup/prover.rs:253-392."""
+    df = params.scalar_df
+    fs = params.curve.scalar
+    n = params.n
+    blinding_factors = cs.blinding_factors()
+    beta_m = jnp.broadcast_to(df.scalar(beta), (n, NLIMBS))
+    gamma_m = jnp.broadcast_to(df.scalar(gamma), (n, NLIMBS))
+
+    denom = fmul(df, fadd(df, beta_m, permuted.permuted_input),
+                 fadd(df, gamma_m, permuted.permuted_table))
+    denom_inv = batch_inv(df, denom, axis=0)
+    product = fmul(df, denom_inv,
+                   fmul(df, fadd(df, permuted.compressed_input, beta_m),
+                        fadd(df, permuted.compressed_table, gamma_m)))
+
+    # z[0] = 1, z[i] = prod_{j<i} product[j]; keep usable rows + blinding
+    incl = jax.lax.associative_scan(lambda a, b: fmul(df, a, b), product,
+                                    axis=0)
+    z = jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
+    blinds = [fs.rand(rng) for _ in range(blinding_factors)]
+    z = jnp.concatenate([
+        z[:n - blinding_factors],
+        jnp.asarray(np.asarray(df.to_mont_np(blinds)).reshape(-1, NLIMBS))],
+        axis=0)
+
+    product_blind = fs.rand(rng)
+    commitment = params.commit_lagrange(z, product_blind)
+    z_poly = domain.lagrange_to_coeff(z)
+    z_coset = domain.coeff_to_extended(z_poly)
+    transcript.write_point(commitment)
+    return CommittedLookup(permuted=permuted, product_poly=z_poly,
+                           product_coset=z_coset, product_blind=product_blind)
+
+
+def lookup_h_terms(committed: CommittedLookup, domain, theta: int,
+                   beta: int, gamma: int,
+                   advice_cosets, fixed_cosets, instance_cosets,
+                   l0, l_blind, l_last) -> list[jnp.ndarray]:
+    """lookup/prover.rs:401-477: the 5 constraint families over the
+    extended domain."""
+    df = domain.df
+    rot_scale = 1 << (domain.extended_k - domain.k)
+    ext_n = domain.extended_n
+    one = df.ones((ext_n,))
+    perm = committed.permuted
+    theta_m = df.scalar(theta)
+    beta_m = jnp.broadcast_to(df.scalar(beta), (ext_n, NLIMBS))
+    gamma_m = jnp.broadcast_to(df.scalar(gamma), (ext_n, NLIMBS))
+
+    def coset_of(exprs):
+        vals = [evaluate_expression(df, e, advice=advice_cosets,
+                                    fixed=fixed_cosets,
+                                    instance=instance_cosets,
+                                    rot_scale=rot_scale)
+                for e in exprs]
+        acc = _compress(df, theta_m, vals)
+        return jnp.broadcast_to(acc, (ext_n, NLIMBS))
+
+    compressed_input_coset = coset_of(perm.input_coset_expr)
+    compressed_table_coset = coset_of(perm.table_coset_expr)
+
+    active = fsub(df, one, fadd(df, l_last, l_blind))
+    z = committed.product_coset
+    z_next = jnp.roll(z, -rot_scale, axis=0)
+    a_prime = perm.permuted_input_coset
+    s_prime = perm.permuted_table_coset
+    a_prev = jnp.roll(a_prime, rot_scale, axis=0)
+
+    out = []
+    # l_0(X) * (1 - z(X))
+    out.append(fmul(df, fsub(df, one, z), l0))
+    # l_last(X) * (z(X)^2 - z(X))
+    out.append(fmul(df, fsub(df, fmul(df, z, z), z), l_last))
+    # active * (z(ωX)(a'+β)(s'+γ) - z(X)(compressed_in+β)(compressed_tab+γ))
+    left = fmul(df, z_next, fmul(df, fadd(df, a_prime, beta_m),
+                                 fadd(df, s_prime, gamma_m)))
+    right = fmul(df, z, fmul(df, fadd(df, compressed_input_coset, beta_m),
+                             fadd(df, compressed_table_coset, gamma_m)))
+    out.append(fmul(df, fsub(df, left, right), active))
+    # l_0(X) * (a'(X) - s'(X))
+    out.append(fmul(df, fsub(df, a_prime, s_prime), l0))
+    # active * (a'(X) - s'(X)) * (a'(X) - a'(ω^-1 X))
+    out.append(fmul(df, fmul(df, fsub(df, a_prime, s_prime),
+                             fsub(df, a_prime, a_prev)), active))
+    return out
+
+
+def lookup_evaluate(committed: CommittedLookup, domain, df, x: int,
+                    transcript) -> dict:
+    """5 evals in transcript order (lookup/prover.rs:481-510)."""
+    x_inv = domain.rotate_omega(x, -1)
+    x_next = domain.rotate_omega(x, 1)
+
+    def ev(poly, point):
+        return int(df.from_mont_np(np.asarray(
+            eval_poly(df, poly, df.scalar(point)))))
+
+    evals = {
+        "product_eval": ev(committed.product_poly, x),
+        "product_next_eval": ev(committed.product_poly, x_next),
+        "permuted_input_eval": ev(committed.permuted.permuted_input_poly, x),
+        "permuted_input_inv_eval": ev(committed.permuted.permuted_input_poly,
+                                      x_inv),
+        "permuted_table_eval": ev(committed.permuted.permuted_table_poly, x),
+    }
+    for key in ("product_eval", "product_next_eval", "permuted_input_eval",
+                "permuted_input_inv_eval", "permuted_table_eval"):
+        transcript.write_scalar(evals[key])
+    return evals
+
+
+def lookup_verifier_expressions(argument: LookupArgument, f, evals: dict,
+                                advice_evals, fixed_evals, instance_evals,
+                                l0: int, l_last: int, l_blind: int,
+                                theta: int, beta: int, gamma: int
+                                ) -> list[int]:
+    """lookup/verifier.rs:94-167 on host scalars."""
+    from .evaluation import evaluate_expression_host
+    p = f.modulus
+    active = (1 - (l_last + l_blind)) % p
+
+    def compress(exprs):
+        acc = 0
+        for e in exprs:
+            v = evaluate_expression_host(
+                f, e, advice_evals=advice_evals, fixed_evals=fixed_evals,
+                instance_evals=instance_evals)
+            acc = (acc * theta + v) % p
+        return acc
+
+    z = evals["product_eval"]
+    z_next = evals["product_next_eval"]
+    a_prime = evals["permuted_input_eval"]
+    a_prev = evals["permuted_input_inv_eval"]
+    s_prime = evals["permuted_table_eval"]
+
+    out = []
+    out.append(l0 * (1 - z) % p)
+    out.append(l_last * (z * z - z) % p)
+    left = z_next * ((a_prime + beta) % p) % p * ((s_prime + gamma) % p) % p
+    right = z * ((compress(argument.input_expressions) + beta) % p) % p \
+        * ((compress(argument.table_expressions) + gamma) % p) % p
+    out.append((left - right) * active % p)
+    out.append(l0 * (a_prime - s_prime) % p)
+    out.append((a_prime - s_prime) * (a_prime - a_prev) % p * active % p)
+    return out

@@ -1,0 +1,347 @@
+"""Permutation argument: global copy constraints via chunked grand products.
+
+Reference: halo2_proofs/src/plonk/permutation/ —
+  keygen.rs:16-100 (cycle-merge Assembly), :102-211 (σ = δ^i ω^j tables,
+  build_vk/build_pk); prover.rs:47-194 (chunked fraction products with
+  chained last_z), :199-312 (4 constraint families); verifier.rs:33-241.
+
+TPU formulation: the σ tables are a device outer-product (δ-powers ×
+ω-powers) gathered through the host-built mapping; the per-chunk fraction
+batch is one batched inversion + elementwise products; the running product
+z becomes an exclusive associative-scan product scaled by the chained
+last_z. The constraint families are evaluated directly as fused device
+programs over the extended domain.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.device import (DeviceField, NLIMBS, fadd, fsub, fmul, fneg,
+                             batch_inv, fselect)
+from ..poly.utils import powers, eval_poly
+from ..poly.domain import EvaluationDomain
+from .circuit import (ConstraintSystem, Column, PermutationArgument,
+                      ADVICE, FIXED, INSTANCE)
+
+
+class PermutationAssembly:
+    """Cycle-tracking assignment sink (keygen.rs:16-100)."""
+
+    def __init__(self, n: int, argument: PermutationArgument):
+        m = len(argument.columns)
+        self.n = n
+        self.columns = list(argument.columns)
+        self.col_index = {c: i for i, c in enumerate(self.columns)}
+        # mapping/aux as int32 [m, n] pairs
+        idx = np.tile(np.arange(n, dtype=np.int64)[None, :], (m, 1))
+        cols = np.tile(np.arange(m, dtype=np.int64)[:, None], (1, n))
+        self.map_col = cols.copy()
+        self.map_row = idx.copy()
+        self.aux_col = cols.copy()
+        self.aux_row = idx.copy()
+        self.sizes = np.ones((m, n), dtype=np.int64)
+
+    def copy(self, left_column: Column, left_row: int,
+             right_column: Column, right_row: int) -> None:
+        if left_column not in self.col_index:
+            raise ValueError(f"column {left_column} not in permutation")
+        if right_column not in self.col_index:
+            raise ValueError(f"column {right_column} not in permutation")
+        lc = self.col_index[left_column]
+        rc = self.col_index[right_column]
+        if left_row >= self.n or right_row >= self.n:
+            raise IndexError("copy row out of bounds")
+
+        left_cycle = (self.aux_col[lc, left_row], self.aux_row[lc, left_row])
+        right_cycle = (self.aux_col[rc, right_row],
+                       self.aux_row[rc, right_row])
+        if left_cycle == right_cycle:
+            return
+        if (self.sizes[left_cycle] < self.sizes[right_cycle]):
+            left_cycle, right_cycle = right_cycle, left_cycle
+        self.sizes[left_cycle] += self.sizes[right_cycle]
+        i = right_cycle
+        while True:
+            self.aux_col[i], self.aux_row[i] = left_cycle
+            i = (self.map_col[i], self.map_row[i])
+            if i == right_cycle:
+                break
+        lpos = (lc, left_row)
+        rpos = (rc, right_row)
+        tmp = (self.map_col[lpos], self.map_row[lpos])
+        self.map_col[lpos], self.map_row[lpos] = (self.map_col[rpos],
+                                                  self.map_row[rpos])
+        self.map_col[rpos], self.map_row[rpos] = tmp
+
+    # ---- σ polynomial construction (keygen.rs:102-211) ----
+    def _deltaomega(self, df: DeviceField, domain: EvaluationDomain
+                    ) -> jnp.ndarray:
+        """[m, n, 16]: δ^i · ω^j, built on device."""
+        m = len(self.columns)
+        omega_pow = powers(df, df.scalar(domain.omega), self.n)      # [n,16]
+        delta_pow = powers(df, df.scalar(df.spec.delta), m)          # [m,16]
+        return fmul(df, delta_pow[:, None, :], omega_pow[None, :, :])
+
+    def sigma_lagrange(self, df: DeviceField, domain: EvaluationDomain
+                       ) -> list[jnp.ndarray]:
+        """One [n,16] σ array per permutation column."""
+        dw = self._deltaomega(df, domain)          # [m, n, 16]
+        flat = dw.reshape(-1, NLIMBS)
+        out = []
+        for i in range(len(self.columns)):
+            gather = jnp.asarray(self.map_col[i] * self.n + self.map_row[i],
+                                 dtype=jnp.int32)
+            out.append(flat[gather])
+        return out
+
+
+def build_vk(params, domain: EvaluationDomain, assembly: PermutationAssembly):
+    """Commit to σ columns unblinded (keygen.rs:102-153)."""
+    from ..poly.commitment import DEFAULT_BLIND
+    sigmas = assembly.sigma_lagrange(params.scalar_df, domain)
+    return [params.commit_lagrange(s, DEFAULT_BLIND) for s in sigmas]
+
+
+@dataclass
+class PermutationProvingKey:
+    permutations: list   # σ in Lagrange basis
+    polys: list          # σ in coeff basis
+    cosets: list         # σ in extended-coset basis
+
+
+def build_pk(params, domain: EvaluationDomain,
+             assembly: PermutationAssembly) -> PermutationProvingKey:
+    df = params.scalar_df
+    sigmas = assembly.sigma_lagrange(df, domain)
+    polys = [domain.lagrange_to_coeff(s) for s in sigmas]
+    cosets = [domain.coeff_to_extended(p) for p in polys]
+    return PermutationProvingKey(permutations=sigmas, polys=polys,
+                                 cosets=cosets)
+
+
+@dataclass
+class CommittedSet:
+    z_lagrange: jnp.ndarray
+    z_poly: jnp.ndarray      # coeff basis
+    z_coset: jnp.ndarray     # extended basis
+    blind: int
+
+
+def _values_for(column: Column, advice, fixed, instance):
+    return {ADVICE: advice, FIXED: fixed, INSTANCE: instance}[
+        column.column_type][column.index]
+
+
+def permutation_commit(cs: ConstraintSystem, params, domain,
+                       pkey: PermutationProvingKey,
+                       advice, fixed, instance,
+                       beta: int, gamma: int, rng, transcript
+                       ) -> list[CommittedSet]:
+    """prover.rs:47-194. advice/fixed/instance: lists of [n,16] Lagrange
+    device arrays."""
+    df = params.scalar_df
+    fs = params.curve.scalar
+    n = params.n
+    assert cs.degree() >= 3
+    chunk_len = cs.degree() - 2
+    blinding_factors = cs.blinding_factors()
+    columns = cs.permutation.columns
+
+    beta_m = df.scalar(beta)
+    gamma_m = df.scalar(gamma)
+    omega_pow = powers(df, df.scalar(domain.omega), n)   # [n,16]
+
+    global_col = 0          # delta exponent carried across chunks
+    last_z = 1
+    sets: list[CommittedSet] = []
+
+    for chunk_start in range(0, len(columns), chunk_len):
+        chunk = columns[chunk_start:chunk_start + chunk_len]
+        perms = pkey.permutations[chunk_start:chunk_start + chunk_len]
+
+        # denominator product: prod (value + beta*sigma + gamma)
+        modified = df.ones((n,))
+        for column, sigma in zip(chunk, perms):
+            values = _values_for(column, advice, fixed, instance)
+            term = fadd(df, values,
+                        fadd(df, fmul(df, jnp.broadcast_to(beta_m, sigma.shape),
+                                      sigma),
+                             jnp.broadcast_to(gamma_m, sigma.shape)))
+            modified = fmul(df, modified, term)
+        modified = batch_inv(df, modified, axis=0)
+
+        # numerators: prod (value + delta^j omega^i beta + gamma)
+        for column in chunk:
+            values = _values_for(column, advice, fixed, instance)
+            delta_j = df.scalar(pow(df.spec.delta, global_col,
+                                    df.spec.modulus))
+            deltaomega = fmul(df, omega_pow,
+                              jnp.broadcast_to(delta_j, omega_pow.shape))
+            term = fadd(df, values,
+                        fadd(df, fmul(df, deltaomega,
+                                      jnp.broadcast_to(beta_m,
+                                                       omega_pow.shape)),
+                             jnp.broadcast_to(gamma_m, omega_pow.shape)))
+            modified = fmul(df, modified, term)
+            global_col += 1
+
+        # z[0] = last_z; z[i] = last_z * prod_{j<i} modified[j]
+        incl = jax.lax.associative_scan(lambda a, b: fmul(df, a, b),
+                                        modified, axis=0)
+        lastz_m = df.scalar(last_z)
+        z = jnp.concatenate([
+            jnp.broadcast_to(lastz_m, (1, NLIMBS)),
+            fmul(df, incl[:-1],
+                 jnp.broadcast_to(lastz_m, (n - 1, NLIMBS)))], axis=0)
+
+        # blinding rows
+        blinds = [fs.rand(rng) for _ in range(blinding_factors)]
+        z_np = np.asarray(df.to_mont_np(blinds)).reshape(-1, NLIMBS)
+        z = jnp.concatenate([z[:n - blinding_factors], jnp.asarray(z_np)],
+                            axis=0)
+        last_z = int(df.from_mont_np(
+            np.asarray(z[n - (blinding_factors + 1)])))
+
+        blind = fs.rand(rng)
+        commitment = params.commit_lagrange(z, blind)
+        z_poly = domain.lagrange_to_coeff(z)
+        z_coset = domain.coeff_to_extended(z_poly)
+        transcript.write_point(commitment)
+        sets.append(CommittedSet(z_lagrange=z, z_poly=z_poly,
+                                 z_coset=z_coset, blind=blind))
+    return sets
+
+
+def permutation_h_terms(cs: ConstraintSystem, domain, pkey,
+                        sets: list[CommittedSet],
+                        advice_cosets, fixed_cosets, instance_cosets,
+                        l0, l_blind, l_last, coset_pts,
+                        beta: int, gamma: int) -> list[jnp.ndarray]:
+    """The 4 constraint families (prover.rs:199-312) as extended arrays."""
+    df = domain.df
+    rot_scale = 1 << (domain.extended_k - domain.k)
+    chunk_len = cs.degree() - 2
+    blinding_factors = cs.blinding_factors()
+    last_rot = -((blinding_factors + 1))
+    columns = cs.permutation.columns
+    one = df.ones((domain.extended_n,))
+    beta_m = df.scalar(beta)
+    gamma_m = df.scalar(gamma)
+
+    out = []
+    if sets:
+        # l_0(X) * (1 - z_0(X))
+        out.append(fmul(df, fsub(df, one, sets[0].z_coset), l0))
+        # l_last(X) * (z_l(X)^2 - z_l(X))
+        zl = sets[-1].z_coset
+        out.append(fmul(df, fsub(df, fmul(df, zl, zl), zl), l_last))
+        # l_0(X) * (z_i(X) - z_{i-1}(omega^last X))
+        for prev, cur in zip(sets, sets[1:]):
+            rolled = jnp.roll(prev.z_coset, -last_rot * rot_scale, axis=0)
+            out.append(fmul(df, fsub(df, cur.z_coset, rolled), l0))
+        # product rule per chunk
+        active = fsub(df, one, fadd(df, l_last, l_blind))
+        for chunk_index, chunk_start in enumerate(
+                range(0, len(columns), chunk_len)):
+            chunk = columns[chunk_start:chunk_start + chunk_len]
+            cosets = pkey.cosets[chunk_start:chunk_start + chunk_len]
+            s = sets[chunk_index]
+            left = jnp.roll(s.z_coset, -1 * rot_scale, axis=0)
+            for column, sigma_coset in zip(chunk, cosets):
+                values = _values_for(column, advice_cosets, fixed_cosets,
+                                     instance_cosets)
+                left = fmul(df, left, fadd(
+                    df, values,
+                    fadd(df, fmul(df, jnp.broadcast_to(beta_m,
+                                                       sigma_coset.shape),
+                                  sigma_coset),
+                         jnp.broadcast_to(gamma_m, sigma_coset.shape))))
+            right = s.z_coset
+            cur_delta = beta * pow(df.spec.delta, chunk_index * chunk_len,
+                                   df.spec.modulus) % df.spec.modulus
+            for column in chunk:
+                values = _values_for(column, advice_cosets, fixed_cosets,
+                                     instance_cosets)
+                lin = fmul(df, coset_pts,
+                           jnp.broadcast_to(df.scalar(cur_delta),
+                                            coset_pts.shape))
+                right = fmul(df, right, fadd(
+                    df, values, fadd(df, lin,
+                                     jnp.broadcast_to(gamma_m,
+                                                      coset_pts.shape))))
+                cur_delta = cur_delta * df.spec.delta % df.spec.modulus
+            out.append(fmul(df, fsub(df, left, right), active))
+    return out
+
+
+def permutation_evaluate(sets: list[CommittedSet], domain, cs, x: int,
+                         df, transcript) -> None:
+    """prover.rs:341-384 eval order: per set (x, ωx[, ω^last x])."""
+    blinding_factors = cs.blinding_factors()
+    x_next = domain.rotate_omega(x, 1)
+    x_last = domain.rotate_omega(x, -(blinding_factors + 1))
+    for i, s in enumerate(sets):
+        ev = int(df.from_mont_np(np.asarray(
+            eval_poly(df, s.z_poly, df.scalar(x)))))
+        ev_next = int(df.from_mont_np(np.asarray(
+            eval_poly(df, s.z_poly, df.scalar(x_next)))))
+        transcript.write_scalar(ev)
+        transcript.write_scalar(ev_next)
+        if i < len(sets) - 1:
+            ev_last = int(df.from_mont_np(np.asarray(
+                eval_poly(df, s.z_poly, df.scalar(x_last)))))
+            transcript.write_scalar(ev_last)
+
+
+def permutation_pk_evaluate(pkey: PermutationProvingKey, df, x: int,
+                            transcript) -> None:
+    """σ-poly evals at x (prover.rs:315-339)."""
+    for poly in pkey.polys:
+        ev = int(df.from_mont_np(np.asarray(
+            eval_poly(df, poly, df.scalar(x)))))
+        transcript.write_scalar(ev)
+
+
+def permutation_verifier_expressions(
+        cs: ConstraintSystem, fs, sets_evals, common_evals,
+        advice_evals, fixed_evals, instance_evals,
+        l0: int, l_last: int, l_blind: int,
+        beta: int, gamma: int, x: int) -> list[int]:
+    """verifier.rs:103-191 on host scalars. `sets_evals` is a list of dicts
+    with keys eval/next_eval/last_eval."""
+    p = fs.modulus
+    chunk_len = cs.degree() - 2
+    columns = cs.permutation.columns
+    out = []
+    if sets_evals:
+        out.append(l0 * (1 - sets_evals[0]["eval"]) % p)
+        zl = sets_evals[-1]["eval"]
+        out.append((zl * zl - zl) * l_last % p)
+        for prev, cur in zip(sets_evals, sets_evals[1:]):
+            out.append((cur["eval"] - prev["last_eval"]) * l0 % p)
+        for chunk_index, chunk_start in enumerate(
+                range(0, len(columns), chunk_len)):
+            chunk = columns[chunk_start:chunk_start + chunk_len]
+            perm_evals = common_evals[chunk_start:chunk_start + chunk_len]
+            s = sets_evals[chunk_index]
+            left = s["next_eval"]
+            for column, perm_eval in zip(chunk, perm_evals):
+                idx = cs.get_any_query_index(column)
+                ev = {ADVICE: advice_evals, FIXED: fixed_evals,
+                      INSTANCE: instance_evals}[column.column_type][idx]
+                left = left * ((ev + beta * perm_eval + gamma) % p) % p
+            right = s["eval"]
+            cur_delta = (beta * x % p) * pow(fs.delta,
+                                             chunk_index * chunk_len, p) % p
+            for column in chunk:
+                idx = cs.get_any_query_index(column)
+                ev = {ADVICE: advice_evals, FIXED: fixed_evals,
+                      INSTANCE: instance_evals}[column.column_type][idx]
+                right = right * ((ev + cur_delta + gamma) % p) % p
+                cur_delta = cur_delta * fs.delta % p
+            out.append((left - right) * (1 - (l_last + l_blind)) % p)
+    return out

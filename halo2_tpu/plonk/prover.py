@@ -1,0 +1,323 @@
+"""The PLONK prover: 10-phase Fiat–Shamir proof construction.
+
+Reference: halo2_proofs/src/plonk/prover.rs:35-725 (call-stack map in
+SURVEY.md §3.1). Phase order — and therefore the proof byte layout — is
+reproduced exactly:
+  vk.hash_into → instance commitments (common) → witness synthesis →
+  advice commitments → θ → lookup permuted commitments → β, γ →
+  permutation z commitments → lookup product commitments → vanishing
+  random commitment → y → h(X) evaluation/commitments → x → instance /
+  advice / fixed evals → vanishing eval → permutation evals → lookup
+  evals → multiopen.
+
+All O(n) work (commitments, NTTs, coset transforms, constraint-array
+evaluation, scans) runs on device; the host sequences phases and hashes
+the transcript.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.device import NLIMBS
+from ..poly.commitment import Params, DEFAULT_BLIND
+from ..poly.multiopen import ProverQuery, multiopen_create_proof
+from ..poly.utils import eval_poly
+from ..circuit.value import Value, SynthesisError
+from ..circuit.layouter import SingleChipLayouter, Circuit
+from .circuit import ConstraintSystem, Column
+from .assigned import Assigned, batch_evaluate_assigned
+from .keys import ProvingKey
+from .keygen import NotEnoughRowsAvailable
+from .evaluation import evaluate_expression, coset_points
+from .permutation import (permutation_commit, permutation_h_terms,
+                          permutation_evaluate, permutation_pk_evaluate)
+from .lookup import (lookup_commit_permuted, lookup_commit_product,
+                     lookup_h_terms, lookup_evaluate)
+from .vanishing import (vanishing_commit, vanishing_construct,
+                        vanishing_evaluate)
+
+
+class WitnessCollection:
+    """Assignment sink capturing advice values (prover.rs:155-262)."""
+
+    def __init__(self, cs: ConstraintSystem, fs, n: int, k: int,
+                 instances: list[list[int]], usable_rows: int):
+        self.fs = fs
+        self.k = k
+        self.advice: list[list[Assigned]] = [
+            [Assigned.zero()] * n for _ in range(cs.num_advice_columns)]
+        self.instances = instances
+        self.usable_rows = usable_rows
+
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def enable_selector(self, annotation, selector, row):
+        pass  # selectors are fixed by keygen
+
+    def query_instance(self, column: Column, row: int) -> Value:
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.instances[column.index]
+        v = col[row] if row < len(col) else 0
+        return Value.known(v)
+
+    def assign_advice(self, annotation, column: Column, row: int, to):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        v = to()
+        v = v if isinstance(v, Value) else Value.known(v)
+        if v.is_known():
+            inner = v.inner()
+            self.advice[column.index][row] = (
+                inner if isinstance(inner, Assigned)
+                else Assigned.trivial(inner % self.fs.modulus))
+
+    def assign_fixed(self, annotation, column, row, to):
+        pass  # fixed by keygen
+
+    def copy(self, *args):
+        pass
+
+    def fill_from_row(self, *args):
+        pass
+
+    def push_namespace(self, name):
+        pass
+
+    def pop_namespace(self, gadget_name=None):
+        pass
+
+
+def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
+                 instances: list[list[list[int]]], rng, transcript) -> None:
+    """prover.rs:35-725. `instances[i][j]` is the j-th instance column for
+    the i-th circuit instance."""
+    if len(circuits) != len(instances):
+        raise ValueError("circuits/instances length mismatch")
+    cs = pk.vk.cs
+    fs = params.curve.scalar
+    df = params.scalar_df
+    domain = pk.vk.domain
+    n = params.n
+
+    pk.vk.hash_into(transcript)
+
+    # ---- instance commitments (common inputs) + polys + cosets ----
+    instance_singles = []
+    for inst in instances:
+        if len(inst) != cs.num_instance_columns:
+            raise ValueError("wrong number of instance columns")
+        values_l, polys_l, cosets_l = [], [], []
+        commitments = []
+        for values in inst:
+            if len(values) > n - (cs.blinding_factors() + 1):
+                raise ValueError("InstanceTooLarge")
+            padded = list(values) + [0] * (n - len(values))
+            lag = jnp.asarray(np.asarray(df.to_mont_np(padded))
+                              .reshape(n, NLIMBS))
+            commitments.append(params.commit_lagrange(lag, DEFAULT_BLIND))
+            poly = domain.lagrange_to_coeff(lag)
+            values_l.append(lag)
+            polys_l.append(poly)
+            cosets_l.append(domain.coeff_to_extended(poly))
+        for c in commitments:
+            transcript.common_point(c)
+        instance_singles.append(
+            {"values": values_l, "polys": polys_l, "cosets": cosets_l})
+
+    # ---- witness synthesis + advice commitments ----
+    unusable_rows_start = n - (cs.blinding_factors() + 1)
+    advice_singles = []
+    for circuit, inst in zip(circuits, instances):
+        witness_cs = ConstraintSystem()
+        config = type(circuit).configure(witness_cs)
+        witness = WitnessCollection(witness_cs, fs, n, params.k, inst,
+                                    unusable_rows_start)
+        layouter = SingleChipLayouter(witness, witness_cs.constants)
+        circuit.synthesize(config, layouter)
+
+        advice_cols = []
+        for col in witness.advice:
+            ints = batch_evaluate_assigned(fs, col)
+            # blinding rows
+            for row in range(unusable_rows_start, n):
+                ints[row] = fs.rand(rng)
+            advice_cols.append(jnp.asarray(
+                np.asarray(df.to_mont_np(ints)).reshape(n, NLIMBS)))
+        advice_blinds = [fs.rand(rng) for _ in advice_cols]
+        for values, blind in zip(advice_cols, advice_blinds):
+            transcript.write_point(params.commit_lagrange(values, blind))
+        polys = [domain.lagrange_to_coeff(v) for v in advice_cols]
+        cosets = [domain.coeff_to_extended(p) for p in polys]
+        advice_singles.append({"values": advice_cols, "polys": polys,
+                               "cosets": cosets, "blinds": advice_blinds})
+
+    theta = transcript.squeeze_challenge()
+
+    # ---- lookups: commit permuted ----
+    lookups_permuted = []
+    for inst_s, adv_s in zip(instance_singles, advice_singles):
+        per_instance = []
+        for argument in cs.lookups:
+            per_instance.append(lookup_commit_permuted(
+                argument, cs, params, domain, theta,
+                adv_s["values"], pk.fixed_values, inst_s["values"],
+                rng, transcript))
+        lookups_permuted.append(per_instance)
+
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    # ---- permutation z commitments ----
+    permutations_committed = []
+    for inst_s, adv_s in zip(instance_singles, advice_singles):
+        permutations_committed.append(permutation_commit(
+            cs, params, domain, pk.permutation,
+            adv_s["values"], pk.fixed_values, inst_s["values"],
+            beta, gamma, rng, transcript))
+
+    # ---- lookup product commitments ----
+    lookups_committed = []
+    for per_instance in lookups_permuted:
+        lk = []
+        for permuted in per_instance:
+            lk.append(lookup_commit_product(
+                permuted, cs, params, domain, beta, gamma, rng, transcript))
+        lookups_committed.append(lk)
+
+    # ---- vanishing: random poly ----
+    vanishing = vanishing_commit(params, domain, rng, transcript)
+
+    y = transcript.squeeze_challenge()
+
+    # ---- h(X) terms ----
+    coset_pts = coset_points(domain)
+    rot_scale = 1 << (domain.extended_k - domain.k)
+    h_terms = []
+    for inst_s, adv_s, perm_sets, lk_committed in zip(
+            instance_singles, advice_singles, permutations_committed,
+            lookups_committed):
+        # gate constraints
+        for gate in cs.gates:
+            for expr in gate.polys:
+                h_terms.append(evaluate_expression(
+                    df, expr, advice=adv_s["cosets"],
+                    fixed=pk.fixed_cosets, instance=inst_s["cosets"],
+                    rot_scale=rot_scale))
+        # permutation constraints
+        h_terms.extend(permutation_h_terms(
+            cs, domain, pk.permutation, perm_sets,
+            adv_s["cosets"], pk.fixed_cosets, inst_s["cosets"],
+            pk.l0, pk.l_blind, pk.l_last, coset_pts, beta, gamma))
+        # lookup constraints
+        for committed in lk_committed:
+            h_terms.extend(lookup_h_terms(
+                committed, domain, theta, beta, gamma,
+                adv_s["cosets"], pk.fixed_cosets, inst_s["cosets"],
+                pk.l0, pk.l_blind, pk.l_last))
+
+    # broadcast any scalar-shaped terms to full extended length
+    ext_n = domain.extended_n
+    h_terms = [jnp.broadcast_to(t, (ext_n, NLIMBS)) for t in h_terms]
+
+    constructed = vanishing_construct(vanishing, params, domain, h_terms, y,
+                                      rng, transcript)
+
+    x = transcript.squeeze_challenge()
+    xn = pow(x, n, fs.modulus)
+
+    def ev(poly, point):
+        return int(df.from_mont_np(np.asarray(
+            eval_poly(df, poly, df.scalar(point)))))
+
+    # instance evals
+    for inst_s in instance_singles:
+        for column, at in cs.instance_queries:
+            transcript.write_scalar(
+                ev(inst_s["polys"][column.index],
+                   domain.rotate_omega(x, at.value)))
+    # advice evals
+    for adv_s in advice_singles:
+        for column, at in cs.advice_queries:
+            transcript.write_scalar(
+                ev(adv_s["polys"][column.index],
+                   domain.rotate_omega(x, at.value)))
+    # fixed evals
+    for column, at in cs.fixed_queries:
+        transcript.write_scalar(
+            ev(pk.fixed_polys[column.index],
+               domain.rotate_omega(x, at.value)))
+
+    h_poly, h_blind = vanishing_evaluate(constructed, params, x, xn,
+                                         transcript)
+
+    permutation_pk_evaluate(pk.permutation, df, x, transcript)
+    for perm_sets in permutations_committed:
+        permutation_evaluate(perm_sets, domain, cs, x, df, transcript)
+    for lk_committed in lookups_committed:
+        for committed in lk_committed:
+            lookup_evaluate(committed, domain, df, x, transcript)
+
+    # ---- multiopen queries (prover.rs:676-724) ----
+    queries: list[ProverQuery] = []
+    blinding_factors = cs.blinding_factors()
+    x_next = domain.rotate_omega(x, 1)
+    x_inv = domain.rotate_omega(x, -1)
+    x_last = domain.rotate_omega(x, -(blinding_factors + 1))
+
+    for inst_s, adv_s, perm_sets, lk_committed in zip(
+            instance_singles, advice_singles, permutations_committed,
+            lookups_committed):
+        for column, at in cs.instance_queries:
+            queries.append(ProverQuery(
+                point=domain.rotate_omega(x, at.value),
+                poly=inst_s["polys"][column.index], blind=DEFAULT_BLIND))
+        for column, at in cs.advice_queries:
+            queries.append(ProverQuery(
+                point=domain.rotate_omega(x, at.value),
+                poly=adv_s["polys"][column.index],
+                blind=adv_s["blinds"][column.index]))
+        # permutation opens (permutation/prover.rs:386-420)
+        for s in perm_sets:
+            queries.append(ProverQuery(point=x, poly=s.z_poly,
+                                       blind=s.blind))
+            queries.append(ProverQuery(point=x_next, poly=s.z_poly,
+                                       blind=s.blind))
+        for s in list(reversed(perm_sets))[1:]:
+            queries.append(ProverQuery(point=x_last, poly=s.z_poly,
+                                       blind=s.blind))
+        # lookup opens (lookup/prover.rs:513-552)
+        for committed in lk_committed:
+            queries.append(ProverQuery(
+                point=x, poly=committed.product_poly,
+                blind=committed.product_blind))
+            queries.append(ProverQuery(
+                point=x, poly=committed.permuted.permuted_input_poly,
+                blind=committed.permuted.permuted_input_blind))
+            queries.append(ProverQuery(
+                point=x, poly=committed.permuted.permuted_table_poly,
+                blind=committed.permuted.permuted_table_blind))
+            queries.append(ProverQuery(
+                point=x_inv, poly=committed.permuted.permuted_input_poly,
+                blind=committed.permuted.permuted_input_blind))
+            queries.append(ProverQuery(
+                point=x_next, poly=committed.product_poly,
+                blind=committed.product_blind))
+
+    for column, at in cs.fixed_queries:
+        queries.append(ProverQuery(
+            point=domain.rotate_omega(x, at.value),
+            poly=pk.fixed_polys[column.index], blind=DEFAULT_BLIND))
+    for poly in pk.permutation.polys:
+        queries.append(ProverQuery(point=x, poly=poly, blind=DEFAULT_BLIND))
+    # vanishing opens: h at x, random at x (vanishing/prover.rs:155-172)
+    queries.append(ProverQuery(point=x, poly=h_poly, blind=h_blind))
+    queries.append(ProverQuery(point=x, poly=vanishing.random_poly,
+                               blind=vanishing.random_blind))
+
+    multiopen_create_proof(params, rng, transcript, queries)
