@@ -85,9 +85,45 @@ def _window_sum(cv: DeviceCurve, digits: jnp.ndarray, pts: JPoint) -> JPoint:
     return tree_sum(cv, suffix, axis=0)
 
 
+# Below this size the Pippenger machinery costs more (in XLA graph size
+# and sort overhead) than it saves: use batched double-and-add + tree
+# reduction (the `small_multiexp` analogue, arithmetic.rs:116-136).
+SMALL_MSM_THRESHOLD = 2048
+
+
+def _pad_pow2(cv: DeviceCurve, scalar_digits16, pts: JPoint, min_n=8):
+    """Pad to the next power of two with zero scalars / identity points so
+    MSM shapes bucket into log-many compile cache entries."""
+    n = scalar_digits16.shape[0]
+    target = max(min_n, 1 << (n - 1).bit_length())
+    if target == n:
+        return scalar_digits16, pts
+    pad = target - n
+    digits = jnp.concatenate(
+        [scalar_digits16, jnp.zeros((pad, 16), scalar_digits16.dtype)],
+        axis=0)
+    ident = cv.identity((pad,))
+    pts = JPoint(jnp.concatenate([pts.x, ident.x], axis=0),
+                 jnp.concatenate([pts.y, ident.y], axis=0),
+                 jnp.concatenate([pts.z, ident.z], axis=0))
+    return digits, pts
+
+
+def msm_small(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
+              pts: JPoint) -> JPoint:
+    """Batched per-lane double-and-add, then log-depth tree reduction.
+    Small traced graph (one fori_loop body + log n adds)."""
+    from ..curves.device import batch_scalar_mul
+    prods = batch_scalar_mul(cv, pts, scalar_digits16, nbits=256)
+    return tree_sum(cv, prods, axis=0)
+
+
 def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
     """MSM: scalars as canonical (non-Montgomery) 16-bit digit arrays
     [n, 16], points as a JPoint batch [n]. Returns a single JPoint."""
+    scalar_digits16, pts = _pad_pow2(cv, scalar_digits16, pts)
+    if scalar_digits16.shape[0] <= SMALL_MSM_THRESHOLD:
+        return msm_small(cv, scalar_digits16, pts)
     windows = scalar_window_digits(scalar_digits16)  # [32, n] LSB first
     windows_msb = windows[::-1]
 

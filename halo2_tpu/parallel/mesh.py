@@ -1,0 +1,169 @@
+"""Device-mesh parallel layer: sharded MSM and distributed NTT.
+
+TPU-native replacement for the reference's rayon runtime
+(halo2_proofs/src/multicore.rs + arithmetic.rs:345-362 `parallelize`):
+work is sharded over a 1-D `jax.sharding.Mesh` ("shard" axis) and the
+reduction idioms (`TheBestReduce` for the MSM, fork-join FFT halving)
+become XLA collectives:
+
+  - MSM: points/scalars sharded along n; each shard runs the full
+    sort+segmented-scan Pippenger locally; per-shard partial results are
+    combined with an all_gather + log-depth group-add (the group-add
+    "psum" — field addition is exact so any reduction order is
+    bit-identical, SURVEY.md §5.8).
+  - NTT: four-step algorithm — all_to_all transpose, local size-D DFT over
+    the gathered axis, twiddle scaling, all_to_all, local size-(n/D) NTT,
+    final all_to_all to restore contiguous natural-order sharding. The
+    transposes are the sequence-parallel exchanges of SURVEY.md §5.7.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..fields.device import DeviceField, NLIMBS, fmul
+from ..curves.device import DeviceCurve, JPoint, padd, tree_sum
+from ..ops.ntt import NttPlan, make_plan, ntt
+from ..ops.msm import msm
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# Sharded MSM
+# ---------------------------------------------------------------------------
+
+def sharded_msm(cv: DeviceCurve, mesh: Mesh, scalar_digits16: jnp.ndarray,
+                pts: JPoint) -> JPoint:
+    """MSM with points/scalars sharded along n. Returns the (replicated)
+    total as a single JPoint."""
+    ndev = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), JPoint(P(AXIS), P(AXIS), P(AXIS))),
+        out_specs=JPoint(P(), P(), P()),
+    )
+    def body(digits, local_pts):
+        partial = msm(cv, digits, local_pts)            # local Pippenger
+        # group-add reduction across shards: gather partials, tree-add
+        stack = JPoint(
+            jax.lax.all_gather(partial.x, AXIS),
+            jax.lax.all_gather(partial.y, AXIS),
+            jax.lax.all_gather(partial.z, AXIS))
+        total = tree_sum(cv, stack, axis=0)
+        return JPoint(total.x[None], total.y[None], total.z[None])
+
+    out = body(scalar_digits16, pts)
+    return JPoint(out.x[0], out.y[0], out.z[0])
+
+
+# ---------------------------------------------------------------------------
+# Distributed four-step NTT
+# ---------------------------------------------------------------------------
+
+class ShardedNttPlan:
+    """Precomputed tables for a four-step NTT of size n over D shards."""
+
+    def __init__(self, df: DeviceField, n: int, omega: int, ndev: int):
+        assert n % (ndev * ndev) == 0, \
+            "four-step NTT needs D^2 | n; use the single-device path"
+        p = df.spec.modulus
+        self.df = df
+        self.n = n
+        self.ndev = ndev
+        self.C = n // ndev
+        # size-D DFT root: omega^C ; size-C NTT root: omega^D
+        self.plan_rows = make_plan(df, ndev, pow(omega, self.C, p))
+        self.plan_cols = make_plan(df, self.C, pow(omega, ndev, p))
+        # twiddles: w[c, k_r] = omega^(c * k_r), sharded by c blocks
+        tw = np.empty((n // ndev * ndev,), dtype=object)
+        # build per-device blocks lazily on device instead:
+        om = omega
+        # [D, C/D? ...] we need per-device [D(k_r), C/D? ] — build full
+        # [n] table omega^(c*k_r) is [C, D]; keep host ints (small pows)
+        self.omega = omega
+
+    def twiddle_block(self, d: int) -> np.ndarray:
+        """Montgomery [D, C/D, 16] twiddle block for device d:
+        tw[k_r, cl] = omega^((d*C/D + cl) * k_r)."""
+        df, p = self.df, self.df.spec.modulus
+        D, C = self.ndev, self.C
+        CL = C // D
+        vals = [[pow(self.omega, (d * CL + cl) * k_r, p)
+                 for cl in range(CL)] for k_r in range(D)]
+        return np.asarray(df.to_mont_np(vals)).reshape(D, CL, NLIMBS)
+
+
+def sharded_ntt(df: DeviceField, mesh: Mesh, plan: ShardedNttPlan,
+                x: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT of a contiguously-sharded [n, 16] array; output is the
+    natural-order result, contiguously sharded."""
+    D = plan.ndev
+    C = plan.C
+    CL = C // D
+    tw_all = jnp.asarray(np.stack([plan.twiddle_block(d)
+                                   for d in range(D)]))  # [D, D, CL, 16]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+    )
+    def body(block, tw):
+        # block: [C, 16] = row r of the [D, C] view (r = device index)
+        # Step 1: all_to_all so each device holds all rows for its column
+        # chunk: a[r, cl] with c = d*CL + cl
+        b = block.reshape(D, CL, NLIMBS)          # split c into D chunks
+        a = jax.lax.all_to_all(b, AXIS, split_axis=0, concat_axis=0,
+                               tiled=False)
+        # a: [D(rows r), CL, 16] for this device's column chunk
+        # Step 2: size-D DFT over r per column: vectorize via reshape
+        # ntt() works on [n,16]; vmap over CL
+        dft = jax.vmap(lambda col: ntt(df, col, plan.plan_rows),
+                       in_axes=1, out_axes=1)(a)   # [D(k_r), CL, 16]
+        # Step 3: twiddle omega^(c * k_r)
+        t = fmul(df, dft, tw[0])
+        # Step 4: all_to_all over k_r: device d keeps k_r = d, all c
+        back = jax.lax.all_to_all(t, AXIS, split_axis=0, concat_axis=1,
+                                  tiled=False)
+        # back: [1, D*CL = C? , ...] hmm: split k_r (axis0, size D) ->
+        # concat along axis1: [1, D*CL, 16]? shapes: [D,CL,16] split axis0
+        # into D pieces of [1,CL,16], concat axis1 -> [1, D*CL, 16]
+        row = back.reshape(C, NLIMBS)
+        # row[c] for c ordered as (source device s, cl) = c = s*CL+cl —
+        # source device s held columns c = s*CL..s*CL+CL, so
+        # concatenation restores natural c order.
+        # Step 5: local size-C NTT with root omega^D
+        X = ntt(df, row, plan.plan_cols)           # X[k_c] = out[d + D k_c]
+        # Step 6: redistribute to contiguous natural order:
+        # global index k = d + D*k_c; device d currently holds all k_c.
+        # target: device t holds k in [t*C, (t+1)*C).
+        # k_c = (k - d)/D ; for target t, the k_c values with
+        # d + D*k_c in [tC, tC+C) are k_c in [ (tC - d + D - 1)//D ...]:
+        # since C % D == 0, k_c in [t*C/D, (t+1)*C/D) ... check:
+        # k = d + D*k_c in [tC, (t+1)C)  <=>  k_c in [ (tC-d)/D, ... ) and
+        # with d < D <= C, floor boundaries land exactly at multiples of
+        # C/D. Send chunk t = X[t*CL:(t+1)*CL].
+        Xs = X.reshape(D, CL, NLIMBS)
+        fin = jax.lax.all_to_all(Xs, AXIS, split_axis=0, concat_axis=0,
+                                 tiled=False)
+        # fin: [D(source s), CL, 16] on device t: entry [s, j] =
+        # X_s[t*CL + j] = out[s + D*(t*CL + j)].
+        # local k within block t: k_local = k - t*C = s + D*j
+        # → rearrange [s, j] -> flat index s + D*j = transpose to [j, s]
+        fin = jnp.swapaxes(fin, 0, 1).reshape(C, NLIMBS)
+        return fin
+
+    # tw_all sharded on first axis so each device gets its own block
+    return body(x, tw_all)

@@ -11,6 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so the
+# env var above is too late — override via config (the backend itself is
+# not initialized until first use, so this still takes effect).
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # compile-bound; cache them across test processes.
 jax.config.update("jax_compilation_cache_dir",
