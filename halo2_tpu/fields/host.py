@@ -17,9 +17,13 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
-# Pasta moduli (255-bit). Fp is the Pallas base field == Vesta scalar field.
-P_MOD = 0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001
-Q_MOD = 0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001
+# Pasta moduli (255-bit). Fp is the Pallas base field == Vesta scalar
+# field; Fq is the Vesta base field == Pallas scalar field. (Orientation
+# pinned by halo2_poseidon/src/p128pow5t3.rs:156 — the Fp permutation's
+# sage vector uses the 0x..094cf91b.. prime — and by the EqAffine(=Vesta)
+# moduli in halo2_proofs/tests/plonk_api.rs:591-592.)
+P_MOD = 0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001
+Q_MOD = 0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001
 
 
 @dataclass(frozen=True)
