@@ -1,0 +1,141 @@
+"""Lookup range check: K-bit table + running-sum decomposition.
+
+Reference: halo2_gadgets/src/utilities/lookup_range_check.rs —
+combined lookup expression q_lookup·(q_running·(z_cur − 2^K·z_next) +
+(1−q_running)·z_cur) against the [0, 2^K) table (:334-366), the short-check
+bitshift gate word·2^K·inv_two_pow_s − shifted_word (:370-385), range_check
+running sum (:171-240) and short_range_check (:455-490). K = 10 in the
+Orchard instantiation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...plonk.circuit import Constant
+from ...poly.polynomial import Rotation
+from ...circuit.value import Value
+from . import lebs2ip
+
+
+@dataclass
+class LookupRangeCheckConfig:
+    k: int
+    q_lookup: object
+    q_running: object
+    q_bitshift: object
+    running_sum: object
+    table_idx: object
+    field: object
+
+    @staticmethod
+    def configure(meta, field, running_sum, table_idx, k: int = 10
+                  ) -> "LookupRangeCheckConfig":
+        meta.enable_equality(running_sum)
+        q_lookup = meta.complex_selector()
+        q_running = meta.complex_selector()
+        q_bitshift = meta.selector()
+
+        def lookup_fn(cells):
+            ql = cells.query_selector(q_lookup)
+            qr = cells.query_selector(q_running)
+            z_cur = cells.query_advice(running_sum, Rotation(0))
+            z_next = cells.query_advice(running_sum, Rotation(1))
+            running_word = z_cur - z_next * Constant(1 << k)
+            running_lookup = qr * running_word
+            short_lookup = (Constant(1) - qr) * z_cur
+            return [(ql * (running_lookup + short_lookup), table_idx)]
+
+        meta.lookup("range check", lookup_fn)
+
+        def bitshift(cells):
+            qb = cells.query_selector(q_bitshift)
+            word = cells.query_advice(running_sum, Rotation(-1))
+            shifted = cells.query_advice(running_sum, Rotation(0))
+            inv_two_pow_s = cells.query_advice(running_sum, Rotation(1))
+            return [("bitshift",
+                     qb * (word * Constant(1 << k) * inv_two_pow_s
+                           - shifted))]
+
+        meta.create_gate("Short lookup bitshift", bitshift)
+        return LookupRangeCheckConfig(
+            k=k, q_lookup=q_lookup, q_running=q_running,
+            q_bitshift=q_bitshift, running_sum=running_sum,
+            table_idx=table_idx, field=field)
+
+    def load_table(self, layouter) -> None:
+        """Fill table_idx with [0, 2^K)."""
+        def table_fn(table):
+            for i in range(1 << self.k):
+                table.assign_cell(f"idx{i}", self.table_idx, i,
+                                  lambda i=i: Value.known(i))
+        layouter.assign_table("table_idx", table_fn)
+
+    # ----- checks -----
+    def witness_check(self, layouter, value: Value, num_words: int,
+                      strict: bool):
+        def region_fn(region):
+            z0 = region.assign_advice("witness element", self.running_sum,
+                                      0, lambda: value)
+            return self._range_check(region, z0, num_words, strict)
+        return layouter.assign_region("witness check", region_fn)
+
+    def copy_check(self, layouter, element, num_words: int, strict: bool):
+        def region_fn(region):
+            z0 = element.copy_advice("z_0", region, self.running_sum, 0)
+            return self._range_check(region, z0, num_words, strict)
+        return layouter.assign_region(
+            f"{num_words} words range check", region_fn)
+
+    def _range_check(self, region, element, num_words: int, strict: bool):
+        f = self.field
+        k = self.k
+        inv_two_pow_k = pow(1 << k, f.modulus - 2, f.modulus)
+        zs = [element]
+        z = element
+        val = element.value
+        for idx in range(num_words):
+            word = val.map(lambda v, idx=idx:
+                           (v >> (k * idx)) & ((1 << k) - 1))
+            region.enable_selector("q_lookup", self.q_lookup, idx)
+            region.enable_selector("q_running", self.q_running, idx)
+            zval = z.value.zip(word).map(
+                lambda zw: (zw[0] - zw[1]) * inv_two_pow_k % f.modulus)
+            z = region.assign_advice(f"z_{idx+1}", self.running_sum,
+                                     idx + 1, lambda v=zval: v)
+            zs.append(z)
+        if strict:
+            region.constrain_constant(zs[-1].cell, 0)
+        return zs
+
+    def copy_short_check(self, layouter, element, num_bits: int):
+        assert 0 < num_bits <= self.k
+
+        def region_fn(region):
+            el = element.copy_advice("element", region, self.running_sum, 0)
+            self._short_range_check(region, el, num_bits)
+        layouter.assign_region(f"short range check {num_bits}", region_fn)
+
+    def witness_short_check(self, layouter, value: Value, num_bits: int):
+        assert 0 < num_bits <= self.k
+
+        def region_fn(region):
+            el = region.assign_advice("short element", self.running_sum, 0,
+                                      lambda: value)
+            self._short_range_check(region, el, num_bits)
+            return el
+        return layouter.assign_region(
+            f"witness short range check {num_bits}", region_fn)
+
+    def _short_range_check(self, region, element, num_bits: int):
+        f = self.field
+        k = self.k
+        region.enable_selector("q_lookup0", self.q_lookup, 0)
+        region.enable_selector("q_lookup1", self.q_lookup, 1)
+        region.enable_selector("q_bitshift", self.q_bitshift, 1)
+        shifted = element.value.map(
+            lambda v: v * (1 << (k - num_bits)) % f.modulus)
+        region.assign_advice(f"element shifted", self.running_sum, 1,
+                             lambda: shifted)
+        inv_two_pow_s = pow(1 << num_bits, f.modulus - 2, f.modulus)
+        region.assign_advice_from_constant(
+            f"2^(-{num_bits})", self.running_sum, 2, inv_two_pow_s)

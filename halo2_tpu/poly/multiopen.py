@@ -42,9 +42,11 @@ class VerifierQuery:
     eval: int
 
     def key(self):
-        if isinstance(self.commitment, MSMAccumulator):
-            return id(self.commitment)
-        return ("pt", self.commitment)
+        # identity (pointer) keying, like the reference's
+        # CommitmentReference PartialEq (multiopen.rs:96-116): the same
+        # commitment OBJECT queried at several points groups together;
+        # equal-valued but distinct commitments do not merge.
+        return id(self.commitment)
 
 
 @dataclass
