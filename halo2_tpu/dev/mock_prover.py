@@ -174,8 +174,8 @@ class MockProver:
                 raise SynthesisError("instance too large")
 
         prover = cls(fs, k, cs, [list(c) for c in instance])
-        layouter = SingleChipLayouter(prover, cs.constants)
-        circuit.synthesize(config, layouter)
+        from ..circuit import synthesize_circuit
+        synthesize_circuit(prover, circuit, config, cs.constants)
 
         # materialize selectors into fixed columns (dev.rs:556-564)
         prover.cs, selector_polys = compress_selectors(cs, prover.selectors)

@@ -90,6 +90,31 @@ def _window_sum(cv: DeviceCurve, digits: jnp.ndarray, pts: JPoint) -> JPoint:
 # reduction (the `small_multiexp` analogue, arithmetic.rs:116-136).
 SMALL_MSM_THRESHOLD = 2048
 
+# Below this size, when inputs are concrete (not under jit), exact host
+# integer arithmetic beats the device round-trip (and avoids compiling
+# the point-loop graphs at all on test-scale inputs). Tune with
+# HALO2_TPU_HOST_MSM_THRESHOLD=0 to force the device path everywhere.
+import os as _os
+HOST_MSM_THRESHOLD = int(_os.environ.get("HALO2_TPU_HOST_MSM_THRESHOLD",
+                                         "512"))
+
+
+def _is_concrete(*arrays) -> bool:
+    import jax.core
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
+def _msm_host(cv: DeviceCurve, scalar_digits16, pts: JPoint) -> JPoint:
+    """Exact host MSM on small concrete inputs."""
+    import numpy as np
+    digits = np.asarray(scalar_digits16)
+    scalars = [int(sum(int(d) << (16 * i) for i, d in enumerate(row)))
+               for row in digits]
+    host_pts = cv.points_from_device(pts)
+    total = cv.spec.msm(scalars, host_pts)
+    jp = cv.points_to_device([total])
+    return JPoint(jp.x[0], jp.y[0], jp.z[0])
+
 
 def _pad_pow2(cv: DeviceCurve, scalar_digits16, pts: JPoint, min_n=8):
     """Pad to the next power of two with zero scalars / identity points so
@@ -121,6 +146,9 @@ def msm_small(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
 def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
     """MSM: scalars as canonical (non-Montgomery) 16-bit digit arrays
     [n, 16], points as a JPoint batch [n]. Returns a single JPoint."""
+    if (scalar_digits16.shape[0] <= HOST_MSM_THRESHOLD
+            and _is_concrete(scalar_digits16, pts.x, pts.y, pts.z)):
+        return _msm_host(cv, scalar_digits16, pts)
     scalar_digits16, pts = _pad_pow2(cv, scalar_digits16, pts)
     if scalar_digits16.shape[0] <= SMALL_MSM_THRESHOLD:
         return msm_small(cv, scalar_digits16, pts)

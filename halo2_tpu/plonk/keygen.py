@@ -112,8 +112,8 @@ class Assembly:
 
 
 def _synthesize(circuit: Circuit, config, assembly, constants):
-    layouter = SingleChipLayouter(assembly, constants)
-    circuit.synthesize(config, layouter)
+    from ..circuit import synthesize_circuit
+    synthesize_circuit(assembly, circuit, config, constants)
 
 
 def _pack_columns(df, fs, columns: list[list[Assigned]]) -> list[jnp.ndarray]:

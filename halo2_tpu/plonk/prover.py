@@ -138,8 +138,8 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
         config = type(circuit).configure(witness_cs)
         witness = WitnessCollection(witness_cs, fs, n, params.k, inst,
                                     unusable_rows_start)
-        layouter = SingleChipLayouter(witness, witness_cs.constants)
-        circuit.synthesize(config, layouter)
+        from ..circuit import synthesize_circuit
+        synthesize_circuit(witness, circuit, config, witness_cs.constants)
 
         advice_cols = []
         for col in witness.advice:

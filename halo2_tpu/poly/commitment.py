@@ -84,19 +84,47 @@ class Params:
     def _build_lagrange(curve: CurveSpec, k: int,
                         g: list[Point]) -> list[Point]:
         """g_lagrange = group-valued inverse FFT of g scaled by 1/n
-        (commitment.rs:75-100) — a device group-NTT."""
-        dev = PALLAS_DEV if curve.name == "pallas" else VESTA_DEV
+        (commitment.rs:75-100) — a device group-NTT for large n, exact
+        host arithmetic below the device threshold."""
         fs = curve.scalar
         n = 1 << k
         omega = pow(fs.root_of_unity, 1 << (fs.s - k), fs.modulus)
         omega_inv = pow(omega, fs.modulus - 2, fs.modulus)
+        minv = pow(n, fs.modulus - 2, fs.modulus)
+        from ..ops.msm import HOST_MSM_THRESHOLD
+        if n <= max(HOST_MSM_THRESHOLD, 1):
+            return Params._host_group_intt(curve, g, omega_inv, minv)
+        dev = PALLAS_DEV if curve.name == "pallas" else VESTA_DEV
         plan = make_plan(dev.scalar, n, omega_inv)
         pts = group_ntt(dev, dev.points_to_device(g), plan)
-        minv = pow(n, fs.modulus - 2, fs.modulus)
         dig = jnp.broadcast_to(jnp.asarray(_digits16_np(minv))[None],
                                (n, 16))
         scaled = batch_scalar_mul(dev, pts, dig, nbits=255)
         return dev.points_from_device(normalize(dev, scaled))
+
+    @staticmethod
+    def _host_group_intt(curve: CurveSpec, g: list[Point], omega_inv: int,
+                         minv: int) -> list[Point]:
+        """Iterative radix-2 group NTT on host ints (small n)."""
+        from ..ops.ntt import bit_reverse_perm
+        fs = curve.scalar
+        n = len(g)
+        perm = bit_reverse_perm(n)
+        x = [g[int(i)] for i in perm]
+        m = 2
+        while m <= n:
+            w_m = pow(omega_inv, n // m, fs.modulus)
+            half = m // 2
+            for start in range(0, n, m):
+                w = 1
+                for j in range(half):
+                    lo = x[start + j]
+                    hi = curve.mul(x[start + j + half], w)
+                    x[start + j] = curve.add(lo, hi)
+                    x[start + j + half] = curve.add(lo, curve.neg(hi))
+                    w = w * w_m % fs.modulus
+            m *= 2
+        return [curve.mul(pt, minv) for pt in x]
 
     # ----------------- serialization (commitment.rs:169-205) ------------
     def write(self) -> bytes:
@@ -337,11 +365,20 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         b = fadd(df, b[:half],
                  fmul(df, b[half:], jnp.broadcast_to(uj_m, (half, NLIMBS))))
         # G' collapse: g_lo + [u_j] g_hi (prover.rs:154-166)
-        dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
-                               (half, 16))
-        hi_mul = batch_scalar_mul(dev, _slice_pts(g_prime, half, 2 * half),
-                                  dig, nbits=255)
-        g_prime = padd(dev, _slice_pts(g_prime, 0, half), hi_mul)
+        from ..ops.msm import HOST_MSM_THRESHOLD
+        if half <= HOST_MSM_THRESHOLD:
+            lo = dev.points_from_device(_slice_pts(g_prime, 0, half))
+            hi = dev.points_from_device(_slice_pts(g_prime, half, 2 * half))
+            collapsed = [params.curve.add(l, params.curve.mul(h, u_j))
+                         for l, h in zip(lo, hi)]
+            g_prime = dev.points_to_device(collapsed)
+        else:
+            dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
+                                   (half, 16))
+            hi_mul = batch_scalar_mul(dev,
+                                      _slice_pts(g_prime, half, 2 * half),
+                                      dig, nbits=255)
+            g_prime = padd(dev, _slice_pts(g_prime, 0, half), hi_mul)
 
         f = (f + l_rand * u_j_inv + r_rand * u_j) % fs.modulus
 

@@ -35,7 +35,9 @@ def test_ntt_roundtrip_vs_host():
     assert [int(x) for x in back] == coeffs
 
 
-def test_msm_vs_host():
+def test_msm_vs_host(monkeypatch):
+    import halo2_tpu.ops.msm as msm_mod
+    monkeypatch.setattr(msm_mod, "HOST_MSM_THRESHOLD", 0)  # force device
     spec, cv = PALLAS, PALLAS_DEV
     n = 37  # deliberately not a power of two
     pts = [spec.mul(spec.generator, RNG.randrange(1, 1 << 128))
@@ -76,3 +78,31 @@ def test_group_ntt_small():
             acc = spec.add(acc, spec.mul(pt, pow(omega, i * j, fs.modulus)))
         want.append(acc)
     assert got == want
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="windowed-MSM device path compile is slow on "
+                           "CPU; run with RUN_SLOW=1 (validated on TPU)")
+def test_msm_pippenger_window_path(monkeypatch):
+    """Force the sort+segmented-scan Pippenger path on a small input and
+    check against the host reference."""
+    import halo2_tpu.ops.msm as msm_mod
+    monkeypatch.setattr(msm_mod, "HOST_MSM_THRESHOLD", 0)
+    monkeypatch.setattr(msm_mod, "SMALL_MSM_THRESHOLD", 0)
+    spec, cv = PALLAS, PALLAS_DEV
+    n = 16
+    pts = [spec.mul(spec.generator, RNG.randrange(1, 1 << 64))
+           for _ in range(n)]
+    scalars = [RNG.randrange(spec.scalar.modulus) for _ in range(n)]
+    digits = np.stack([
+        np.array([(s >> (16 * i)) & 0xFFFF for i in range(16)], np.uint32)
+        for s in scalars])
+    from halo2_tpu.ops.msm import msm as msm_fn
+    got = cv.points_from_device(
+        normalize(cv, msm_fn(cv, jnp.asarray(digits),
+                             cv.points_to_device(pts))))
+    assert got == [spec.msm(scalars, pts)]
