@@ -179,6 +179,11 @@ def _mont_mul(df: DeviceField, a, b):
     small: one batched outer product, 32 sliced column-accumulations, a
     16-round word-by-word reduction that skips the (many) zero limbs of the
     Pasta moduli, then one carry propagation + conditional subtract."""
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    if a.shape[:-1] != batch:
+        a = jnp.broadcast_to(a, batch + (NLIMBS,))
+    if b.shape[:-1] != batch:
+        b = jnp.broadcast_to(b, batch + (NLIMBS,))
     # 1) outer product of digits: [..., 16, 16] uint32, exact.
     prod = a[..., :, None] * b[..., None, :]
     lo = prod & MASK

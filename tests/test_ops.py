@@ -36,7 +36,8 @@ def test_ntt_roundtrip_vs_host():
 
 
 def test_msm_vs_host(monkeypatch):
-    import halo2_tpu.ops.msm as msm_mod
+    import importlib
+    msm_mod = importlib.import_module("halo2_tpu.ops.msm")
     monkeypatch.setattr(msm_mod, "HOST_MSM_THRESHOLD", 0)  # force device
     spec, cv = PALLAS, PALLAS_DEV
     n = 37  # deliberately not a power of two
@@ -90,7 +91,8 @@ import pytest
 def test_msm_pippenger_window_path(monkeypatch):
     """Force the sort+segmented-scan Pippenger path on a small input and
     check against the host reference."""
-    import halo2_tpu.ops.msm as msm_mod
+    import importlib
+    msm_mod = importlib.import_module("halo2_tpu.ops.msm")
     monkeypatch.setattr(msm_mod, "HOST_MSM_THRESHOLD", 0)
     monkeypatch.setattr(msm_mod, "SMALL_MSM_THRESHOLD", 0)
     spec, cv = PALLAS, PALLAS_DEV
