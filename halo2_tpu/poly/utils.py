@@ -75,8 +75,12 @@ def kate_division(df: DeviceField, coeffs: jnp.ndarray, b_mont: jnp.ndarray
     ipw = powers(df, binv, n)                       # b^-i
     ipw1 = fmul(df, ipw, jnp.broadcast_to(binv, (n, NLIMBS)))  # b^-(i+1)
     q = fmul(df, t, ipw1)
-    # quotient has degree n-2; q[n-1] = 0 by construction
-    return q[:-1]
+    # The quotient has degree n-2, so q[n-1] == 0 by construction. We
+    # KEEP the length-n shape (instead of truncating) so chained Kate
+    # divisions reuse one compiled scan shape rather than compiling a
+    # fresh graph per length (multiopen resizes to n afterwards anyway,
+    # multiopen/prover.rs:79-88).
+    return q
 
 
 def distribute_powers(df: DeviceField, arrays, base_mont: jnp.ndarray):

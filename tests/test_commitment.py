@@ -60,8 +60,8 @@ def test_kate_division_device(params):
     b = RNG.randrange(1, fs.modulus)
     q = kate_division(df, dpoly, df.scalar(b))
     got = [int(x) for x in df.from_mont_np(np.asarray(q))]
-    # host synthetic division
-    want = [0] * (params.n - 1)
+    # host synthetic division (length-preserving: top coefficient is 0)
+    want = [0] * params.n
     carry = 0
     for i in range(params.n - 1, 0, -1):
         carry = (vals[i] + carry * b) % fs.modulus

@@ -1,0 +1,84 @@
+"""Sinsemilla: primitive sanity + in-circuit chip vs primitive
+(halo2_gadgets/src/sinsemilla tests analogue)."""
+import pytest
+
+from halo2_tpu.fields import FP
+from halo2_tpu.curves import PALLAS
+from halo2_tpu.circuit import Circuit, Value
+from halo2_tpu.dev import MockProver
+from halo2_tpu.gadgets.sinsemilla import (HashDomain, CommitDomain,
+                                          hash_to_point, K)
+from halo2_tpu.gadgets.sinsemilla.chip import SinsemillaChip
+from halo2_tpu.gadgets.utilities import i2lebsp
+
+DOMAIN = "z.cash:test-Sinsemilla"
+
+
+def test_primitive_determinism_and_on_curve():
+    d = HashDomain(DOMAIN)
+    bits = i2lebsp(0b1010110011, 10) + i2lebsp(0x3FF, 10)
+    p1 = d.hash_to_point(bits)
+    p2 = d.hash_to_point(bits)
+    assert p1 == p2 and PALLAS.is_on_curve(p1)
+    assert d.hash_to_point(i2lebsp(1, 10)) != p1
+
+
+class SinsemillaCircuit(Circuit):
+    """Hash a 30-bit message (pieces of 2 + 1 words) and expose the
+    output x-coordinate."""
+
+    def __init__(self, piece1=None, piece2=None):
+        self.piece1 = piece1  # 20-bit int
+        self.piece2 = piece2  # 10-bit int
+
+    def without_witnesses(self):
+        return SinsemillaCircuit()
+
+    @classmethod
+    def configure(cls, meta):
+        advices = [meta.advice_column() for _ in range(5)]
+        witness_pieces = meta.advice_column()
+        fixed_y_q = meta.fixed_column()
+        constants = meta.fixed_column()
+        meta.enable_constant(constants)
+        lookup = (meta.lookup_table_column(), meta.lookup_table_column(),
+                  meta.lookup_table_column())
+        instance = meta.instance_column()
+        meta.enable_equality(instance)
+        cfg = SinsemillaChip.configure(meta, advices, witness_pieces,
+                                       fixed_y_q, lookup, FP)
+        return {"sinsemilla": cfg, "instance": instance}
+
+    def synthesize(self, config, layouter):
+        chip = SinsemillaChip(config["sinsemilla"])
+        chip.load_table(layouter)
+        d = HashDomain(DOMAIN)
+        p1 = chip.witness_message_piece(
+            layouter,
+            Value.known(self.piece1) if self.piece1 is not None
+            else Value.unknown(), 2)
+        p2 = chip.witness_message_piece(
+            layouter,
+            Value.known(self.piece2) if self.piece2 is not None
+            else Value.unknown(), 1)
+        point, _zs = chip.hash_to_point(layouter, d.Q, [p1, p2])
+        layouter.constrain_instance(point.x.cell, config["instance"], 0)
+
+
+def test_sinsemilla_chip_matches_primitive():
+    piece1 = 0b01101_11010_01100_10111  # 20 bits (2 words)
+    piece2 = 0b10101_01010               # 10 bits (1 word)
+    bits = i2lebsp(piece1, 20) + i2lebsp(piece2, 10)
+    expected = hash_to_point(DOMAIN, bits)
+    prover = MockProver.run(11, SinsemillaCircuit(piece1, piece2),
+                            [[expected[0]]], fs=FP)
+    prover.assert_satisfied()
+
+
+def test_sinsemilla_chip_wrong_output_fails():
+    piece1, piece2 = 12345, 678
+    bits = i2lebsp(piece1, 20) + i2lebsp(piece2, 10)
+    expected = hash_to_point(DOMAIN, bits)
+    prover = MockProver.run(11, SinsemillaCircuit(piece1, piece2),
+                            [[(expected[0] + 1) % FP.modulus]], fs=FP)
+    assert prover.verify()
