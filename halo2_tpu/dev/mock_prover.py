@@ -195,6 +195,52 @@ class MockProver:
         col = self.instance[column_index]
         return col[row] if row < len(col) else 0
 
+    def verify_vectorized(self) -> list:
+        """Device-vectorized gate check: evaluate every gate polynomial
+        over ALL rows as one fused XLA program (the TPU-native MockProver
+        formulation, SURVEY.md §7.10) and report failing rows. Poison
+        semantics are approximated by restricting the check to usable
+        rows (blinding rows are unconstrained by construction here).
+        Lookup and permutation streams reuse the host checker."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ..fields.device import NLIMBS, is_zero
+        from ..fields import FP_DEV, FQ_DEV
+        from ..plonk.evaluation import evaluate_expression
+
+        df = FP_DEV if self.fs.modulus == FP_DEV.spec.modulus else FQ_DEV
+        n = self.n
+
+        def pack(cols):
+            out = []
+            for col in cols:
+                ints = [0 if v is UNASSIGNED or v is POISON else v
+                        for v in col]
+                out.append(jnp.asarray(
+                    np.asarray(df.to_mont_np(ints)).reshape(n, NLIMBS)))
+            return out
+
+        advice = pack(self.advice)
+        fixed = pack(self.fixed)
+        instance = pack([list(c) + [0] * (n - len(c))
+                         for c in self.instance])
+
+        errors = []
+        for gate in self.cs.gates:
+            for cname, poly in zip(gate.constraint_names, gate.polys):
+                vals = evaluate_expression(df, poly, advice=advice,
+                                           fixed=fixed, instance=instance,
+                                           rot_scale=1)
+                vals = jnp.broadcast_to(vals, (n, NLIMBS))
+                ok = np.asarray(is_zero(df, vals))
+                bad_rows = np.nonzero(~ok[:self.usable_rows])[0]
+                for row in bad_rows[:10]:
+                    errors.append(ConstraintNotSatisfied(
+                        gate_name=gate.name,
+                        constraint_name=cname or "constraint",
+                        location=self._locate(int(row))))
+        return errors
+
     def verify(self) -> list:
         errors = []
         fs = self.fs

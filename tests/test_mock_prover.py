@@ -128,3 +128,14 @@ def test_circuit_cost():
     cost = CircuitCost.measure(K, MulCircuit(3, 5))
     size = cost.proof_size()
     assert size.total > 0 and size.total % 32 == 0
+
+
+def test_mock_prover_vectorized_gate_check():
+    """Device-vectorized gate checker agrees with the host checker."""
+    fs = FQ
+    ok = MockProver.run(K, MulCircuit(3, 5), [[fs.mul(3, 5)]])
+    assert ok.verify_vectorized() == []
+    bad = MockProver.run(K, MulCircuit(3, 5, tamper=True),
+                         [[(fs.mul(3, 5) + 1) % fs.modulus]])
+    errors = bad.verify_vectorized()
+    assert any(isinstance(e, ConstraintNotSatisfied) for e in errors)
