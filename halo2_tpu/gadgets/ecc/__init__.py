@@ -1,1 +1,2 @@
 from .chip import EccChip, EccConfig, EccPoint
+from .gadget import Point, NonIdentityPoint

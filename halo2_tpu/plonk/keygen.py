@@ -23,12 +23,7 @@ from .permutation import PermutationAssembly, build_vk, build_pk
 from .keys import VerifyingKey, ProvingKey
 
 
-class NotEnoughRowsAvailable(Exception):
-    def __init__(self, current_k):
-        self.current_k = current_k
-        super().__init__(
-            f"k = {current_k} is too small for the given circuit; "
-            f"try using a larger value of k")
+from .error import NotEnoughRowsAvailable  # noqa: F401 (re-export)
 
 
 def create_domain(params: Params, circuit_cls) -> tuple[
