@@ -55,13 +55,13 @@ def worker(k: int) -> None:
 
     fn = jax.jit(lambda d, x, y, z: msm(cv, d, JPoint(x, y, z)))
     out = fn(digits, jp.x, jp.y, jp.z)
-    jax.block_until_ready(out.x)
+    _ = np.asarray(out.x)  # full host readback: defeats async queuing
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(digits, jp.x, jp.y, jp.z)
-        jax.block_until_ready(out.x)
+        _ = np.asarray(out.x)  # sync via readback (tunnel-safe)
     dt = (time.perf_counter() - t0) / iters
     points_per_s = n / dt
 

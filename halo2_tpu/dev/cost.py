@@ -37,6 +37,86 @@ class CircuitCost:
         type(circuit).configure(cs)
         return cls(k, cs)
 
+    def proof_size_exact(self, instance_count: int = 1) -> ProofSize:
+        """Byte-exact proof size: symbolically replay the verifier's read
+        schedule and multiopen grouping (dev/cost.rs:347-416, validated
+        like tests/plonk_api.rs:491-496)."""
+        from ..poly.multiopen import construct_intermediate_sets
+        cs = self.cs
+        k = self.k
+        chunk_len = max(cs.degree() - 2, 1)
+        perm_chunks = ((len(cs.permutation.columns) + chunk_len - 1)
+                       // chunk_len if cs.permutation.columns else 0)
+        quotient_degree = max(cs.degree() - 1, 1)
+
+        points = 0   # curve points written to the proof
+        scalars = 0  # field elements written to the proof
+
+        # commitments (in transcript write order)
+        points += instance_count * cs.num_advice_columns
+        points += instance_count * 2 * len(cs.lookups)   # permuted A', S'
+        points += instance_count * perm_chunks           # permutation z
+        points += instance_count * len(cs.lookups)       # lookup products
+        points += 1                                      # vanishing random
+        points += quotient_degree                        # h pieces
+        # evals
+        # selector materialization appends one fixed column + query per
+        # selector at keygen (compress_selectors.py)
+        num_fixed_queries = len(cs.fixed_queries) + cs.num_selectors
+        scalars += instance_count * len(cs.instance_queries)
+        scalars += instance_count * len(cs.advice_queries)
+        scalars += num_fixed_queries
+        scalars += 1                                     # random_eval
+        scalars += len(cs.permutation.columns)           # sigma evals
+        scalars += instance_count * (3 * perm_chunks - 1
+                                     if perm_chunks else 0)
+        scalars += instance_count * 5 * len(cs.lookups)
+
+        # multiopen point-set structure: replay the verifier's queries
+        # with symbolic commitments / rotation labels
+        queries = []  # (point_label, commitment_key)
+
+        def add(comm_key, rot_label):
+            queries.append((rot_label, comm_key))
+
+        X, X_NEXT, X_INV, X_LAST = "x", "x_next", "x_inv", "x_last"
+        for pf in range(instance_count):
+            for qi, (column, at) in enumerate(cs.instance_queries):
+                add(("inst", pf, column.index), ("rot", at.value))
+            for qi, (column, at) in enumerate(cs.advice_queries):
+                add(("adv", pf, column.index), ("rot", at.value))
+            for s in range(perm_chunks):
+                add(("permz", pf, s), ("rot", 0))
+                add(("permz", pf, s), ("rot", 1))
+            for s in range(perm_chunks - 1):
+                add(("permz", pf, s), X_LAST)
+            for li in range(len(cs.lookups)):
+                add(("lkprod", pf, li), ("rot", 0))
+                add(("lkin", pf, li), ("rot", 0))
+                add(("lktab", pf, li), ("rot", 0))
+                add(("lkin", pf, li), ("rot", -1))
+                add(("lkprod", pf, li), ("rot", 1))
+        for qi, (column, at) in enumerate(cs.fixed_queries):
+            add(("fix", column.index), ("rot", at.value))
+        for si in range(cs.num_selectors):
+            add(("selfix", si), ("rot", 0))
+        for ci in range(len(cs.permutation.columns)):
+            add(("sigma", ci), ("rot", 0))
+        add(("h",), ("rot", 0))
+        add(("rand",), ("rot", 0))
+
+        result = construct_intermediate_sets(
+            queries, get_point=lambda q: q[0], get_eval=lambda q: 0,
+            get_key=lambda q: q[1], track_evals=False)
+        _, point_sets = result
+        scalars += len(point_sets)                       # multiopen u_i
+
+        points += 1                                      # multiopen q'
+        points += 1 + 2 * k                              # IPA S, L/R
+        scalars += 2                                     # IPA c, f
+        return ProofSize(point_bytes=points * 32,
+                         scalar_bytes=scalars * 32)
+
     def _point_sets_and_evals(self, instance_count: int = 1):
         """Count distinct opening points and per-proof evaluations,
         mirroring cost.rs:347-416."""
@@ -79,6 +159,9 @@ class CircuitCost:
         return perm_chunks, point_sets
 
     def proof_size(self, instance_count: int = 1) -> ProofSize:
+        return self.proof_size_exact(instance_count)
+
+    def _proof_size_heuristic(self, instance_count: int = 1) -> ProofSize:
         cs = self.cs
         k = self.k
         perm_chunks, point_sets = self._point_sets_and_evals(instance_count)
