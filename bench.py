@@ -31,7 +31,9 @@ def worker(k: int) -> None:
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache",
+                                   os.environ.get("JAX_PLATFORMS", "axon")
+                                   .split(",")[0] or "axon"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 

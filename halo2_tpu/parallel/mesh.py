@@ -53,6 +53,7 @@ def sharded_msm(cv: DeviceCurve, mesh: Mesh, scalar_digits16: jnp.ndarray,
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), JPoint(P(AXIS), P(AXIS), P(AXIS))),
         out_specs=JPoint(P(), P(), P()),
+        check_vma=False,
     )
     def body(digits, local_pts):
         partial = msm(cv, digits, local_pts)            # local Pippenger
@@ -119,6 +120,7 @@ def sharded_ntt(df: DeviceField, mesh: Mesh, plan: ShardedNttPlan,
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
         out_specs=P(AXIS),
+        check_vma=False,
     )
     def body(block, tw):
         # block: [C, 16] = row r of the [D, C] view (r = device index)
@@ -134,16 +136,14 @@ def sharded_ntt(df: DeviceField, mesh: Mesh, plan: ShardedNttPlan,
                        in_axes=1, out_axes=1)(a)   # [D(k_r), CL, 16]
         # Step 3: twiddle omega^(c * k_r)
         t = fmul(df, dft, tw[0])
-        # Step 4: all_to_all over k_r: device d keeps k_r = d, all c
+        # Step 4: all_to_all over k_r: device d keeps k_r = d, all c.
+        # tiled=False semantics: the split axis is REMOVED from each piece
+        # and a new source-indexed axis is inserted at concat_axis, so the
+        # result is [CL(cl), D(source s), 16] — source s held columns
+        # c = s*CL + cl, so natural-c order is the transpose.
         back = jax.lax.all_to_all(t, AXIS, split_axis=0, concat_axis=1,
                                   tiled=False)
-        # back: [1, D*CL = C? , ...] hmm: split k_r (axis0, size D) ->
-        # concat along axis1: [1, D*CL, 16]? shapes: [D,CL,16] split axis0
-        # into D pieces of [1,CL,16], concat axis1 -> [1, D*CL, 16]
-        row = back.reshape(C, NLIMBS)
-        # row[c] for c ordered as (source device s, cl) = c = s*CL+cl —
-        # source device s held columns c = s*CL..s*CL+CL, so
-        # concatenation restores natural c order.
+        row = jnp.swapaxes(back, 0, 1).reshape(C, NLIMBS)
         # Step 5: local size-C NTT with root omega^D
         X = ntt(df, row, plan.plan_cols)           # X[k_c] = out[d + D k_c]
         # Step 6: redistribute to contiguous natural order:

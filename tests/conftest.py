@@ -17,8 +17,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic graphs are large and
-# compile-bound; cache them across test processes.
+# compile-bound; cache them across test processes. Scoped per-platform:
+# axon remote-compiled CPU AOT entries carry machine-feature flags that
+# can mis-execute on the host (cpu_aot_loader SIGILL warnings).
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache", "cpu"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
