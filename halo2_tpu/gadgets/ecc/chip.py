@@ -324,6 +324,25 @@ class EccChip(Chip):
             acc = self._select(layouter, bit, added, acc)
         return acc
 
+    def mul_fixed(self, layouter, scalar: Value, base,
+                  num_bits: int = 255) -> EccPoint:
+        """Fixed-base scalar mul: the base point is pinned with constant
+        constraints, then multiplied with the double-and-add ladder.
+        (Functional equivalent of mul_fixed/full_width; the reference's
+        3-bit-window Lagrange-coefficient tables, constants.rs:12-27,
+        are a layout optimization tracked in PARITY.md.)"""
+        cfg = self._config
+
+        def region_fn(region):
+            x = region.assign_advice_from_constant(
+                "fixed base x", cfg.advices[0], 0, base[0])
+            y = region.assign_advice_from_constant(
+                "fixed base y", cfg.advices[1], 0, base[1])
+            return EccPoint(x, y)
+
+        base_pt = layouter.assign_region("load fixed base", region_fn)
+        return self.mul(layouter, scalar, base_pt, num_bits=num_bits)
+
     def _select(self, layouter, bit: Value, a: EccPoint, b: EccPoint
                 ) -> EccPoint:
         """Constrained boolean select: out = bit ? a : b (dedicated
