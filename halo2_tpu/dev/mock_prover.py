@@ -241,13 +241,17 @@ class MockProver:
                         location=self._locate(int(row))))
         return errors
 
-    def verify(self) -> list:
+    def verify(self, streams=("cells", "gates", "lookups", "permutation")
+               ) -> list:
+        """Host checker; `streams` selects which of the four error streams
+        run (dev.rs:883-888) — big circuits combine verify_vectorized for
+        gates with the host permutation/lookup streams."""
         errors = []
         fs = self.fs
         p = fs.modulus
 
         # 1. unassigned cells queried by active gates (dev.rs:581-641)
-        for region in self.regions:
+        for region in (self.regions if "cells" in streams else []):
             if region.rows is None:
                 continue
             for selector, rows in region.enabled_selectors.items():
@@ -298,7 +302,8 @@ class MockProver:
                                      else a * v % p),
             )
 
-        for gate_index, gate in enumerate(self.cs.gates):
+        for gate_index, gate in enumerate(
+                self.cs.gates if "gates" in streams else []):
             for cname, poly in zip(gate.constraint_names, gate.polys):
                 name = cname or f"constraint {gate_index}"
                 for row in range(self.n):
@@ -318,7 +323,8 @@ class MockProver:
 
         # 3. lookups (dev.rs:709-833)
         from ..plonk.evaluation import evaluate_expression_host
-        for lookup_index, argument in enumerate(self.cs.lookups):
+        for lookup_index, argument in enumerate(
+                self.cs.lookups if "lookups" in streams else []):
             # table values over usable rows
             def ev_scalar(expr, row):
                 v = ev(expr, row)
@@ -339,7 +345,8 @@ class MockProver:
 
         # 4. permutation consistency (dev.rs:835-881)
         pa = self.permutation
-        for ci, column in enumerate(pa.columns):
+        for ci, column in enumerate(
+                pa.columns if "permutation" in streams else []):
             for row in range(self.n):
                 mc, mr = int(pa.map_col[ci, row]), int(pa.map_row[ci, row])
                 if (mc, mr) == (ci, row):

@@ -61,6 +61,8 @@ def test_sha256_chip_wrong_output_fails():
     expected = compress_host(list(IV), block)
     bad = [expected[0] ^ 1] + expected[1:]
     prover = MockProver.run(K, CompressCircuit(block), [bad], fs=FQ)
-    # permutation stream catches the instance mismatch
-    errors = prover.verify()
+    # permutation stream catches the instance mismatch (the gate streams
+    # are skipped: at k=14 the host gate loop is impractical — gates are
+    # covered by verify_vectorized in the positive test)
+    errors = prover.verify(streams=("permutation",))
     assert errors
