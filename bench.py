@@ -25,6 +25,9 @@ sys.path.insert(0, REPO)
 
 def worker(k: int) -> None:
     """Runs in a subprocess: measure and print the JSON line."""
+    # keep the MSM on the single-fori double-and-add kernel at bench
+    # sizes (the windowed-Pippenger graph is compile-bound this round)
+    os.environ.setdefault("HALO2_TPU_SMALL_MSM_THRESHOLD", str(1 << k))
     import random
     import numpy as np
     import jax

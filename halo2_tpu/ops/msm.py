@@ -88,7 +88,9 @@ def _window_sum(cv: DeviceCurve, digits: jnp.ndarray, pts: JPoint) -> JPoint:
 # Below this size the Pippenger machinery costs more (in XLA graph size
 # and sort overhead) than it saves: use batched double-and-add + tree
 # reduction (the `small_multiexp` analogue, arithmetic.rs:116-136).
-SMALL_MSM_THRESHOLD = 2048
+import os as _os_t
+SMALL_MSM_THRESHOLD = int(_os_t.environ.get(
+    "HALO2_TPU_SMALL_MSM_THRESHOLD", "2048"))
 
 # Below this size, when inputs are concrete (not under jit), exact host
 # integer arithmetic beats the device round-trip (and avoids compiling
