@@ -139,3 +139,72 @@ class LookupRangeCheckConfig:
         inv_two_pow_s = pow(1 << num_bits, f.modulus - 2, f.modulus)
         region.assign_advice_from_constant(
             f"2^(-{num_bits})", self.running_sum, 2, inv_two_pow_s)
+
+
+@dataclass
+class LookupRangeCheck45BConfig(LookupRangeCheckConfig):
+    """The 4_5B variant: adds a `table_range_check_tag` column so 4-bit
+    and 5-bit short checks are a single tagged lookup instead of the
+    bitshift trick (lookup_range_check.rs:493-859)."""
+    q_range_check_4: object = None
+    q_range_check_5: object = None
+    table_range_check_tag: object = None
+
+    @staticmethod
+    def configure(meta, field, running_sum, table_idx,
+                  table_range_check_tag, k: int = 10
+                  ) -> "LookupRangeCheck45BConfig":
+        base = LookupRangeCheckConfig.configure(meta, field, running_sum,
+                                                table_idx, k)
+        q4 = meta.complex_selector()
+        q5 = meta.complex_selector()
+
+        def tagged_lookup(cells):
+            qr4 = cells.query_selector(q4)
+            qr5 = cells.query_selector(q5)
+            z_cur = cells.query_advice(running_sum, Rotation(0))
+            tag = qr4 * Constant(4) + qr5 * Constant(5)
+            value = (qr4 + qr5) * z_cur
+            return [(tag, table_range_check_tag), (value, table_idx)]
+
+        meta.lookup("range check 4/5-bit tag", tagged_lookup)
+        return LookupRangeCheck45BConfig(
+            k=base.k, q_lookup=base.q_lookup, q_running=base.q_running,
+            q_bitshift=base.q_bitshift, running_sum=base.running_sum,
+            table_idx=base.table_idx, field=base.field,
+            q_range_check_4=q4, q_range_check_5=q5,
+            table_range_check_tag=table_range_check_tag)
+
+    def load_table(self, layouter) -> None:
+        """Rows [0,2^K) tag 0, then [0,2^4) tag 4, then [0,2^5) tag 5."""
+        def table_fn(table):
+            row = 0
+            for i in range(1 << self.k):
+                table.assign_cell(f"idx{row}", self.table_idx, row,
+                                  lambda i=i: Value.known(i))
+                table.assign_cell(f"tag{row}", self.table_range_check_tag,
+                                  row, lambda: Value.known(0))
+                row += 1
+            for nbits, tag in ((4, 4), (5, 5)):
+                for i in range(1 << nbits):
+                    table.assign_cell(f"idx{row}", self.table_idx, row,
+                                      lambda i=i: Value.known(i))
+                    table.assign_cell(f"tag{row}",
+                                      self.table_range_check_tag, row,
+                                      lambda t=tag: Value.known(t))
+                    row += 1
+        layouter.assign_table("table_idx tagged", table_fn)
+
+    def witness_short_check_tagged(self, layouter, value: Value,
+                                   num_bits: int):
+        """4- or 5-bit check via the tagged lookup (one row)."""
+        assert num_bits in (4, 5)
+        sel = (self.q_range_check_4 if num_bits == 4
+               else self.q_range_check_5)
+
+        def region_fn(region):
+            region.enable_selector(f"q_{num_bits}", sel, 0)
+            return region.assign_advice("short element", self.running_sum,
+                                        0, lambda: value)
+        return layouter.assign_region(
+            f"tagged short check {num_bits}", region_fn)

@@ -142,3 +142,42 @@ def test_cond_swap_nonbool_fails():
     errors = MockProver.run(5, SwapCircuit(a=10, b=20, swap=2),
                             [], fs=FQ).verify()
     assert errors
+
+
+class Tagged45Circuit(Circuit):
+    def __init__(self, value=None, bits=4):
+        self.value = value
+        self.bits = bits
+
+    def without_witnesses(self):
+        return Tagged45Circuit(bits=self.bits)
+
+    @classmethod
+    def configure(cls, meta):
+        from halo2_tpu.gadgets.utilities.lookup_range_check import \
+            LookupRangeCheck45BConfig
+        running_sum = meta.advice_column()
+        table = meta.lookup_table_column()
+        tag = meta.lookup_table_column()
+        constants = meta.fixed_column()
+        meta.enable_constant(constants)
+        return LookupRangeCheck45BConfig.configure(
+            meta, FQ, running_sum, table, tag, k=K_TABLE)
+
+    def synthesize(self, cfg, layouter):
+        cfg.load_table(layouter)
+        cfg.witness_short_check_tagged(
+            layouter,
+            Value.known(self.value) if self.value is not None
+            else Value.unknown(), self.bits)
+
+
+def test_tagged_4_5b_range_check():
+    MockProver.run(7, Tagged45Circuit(value=13, bits=4),
+                   [], fs=FQ).assert_satisfied()
+    MockProver.run(7, Tagged45Circuit(value=29, bits=5),
+                   [], fs=FQ).assert_satisfied()
+    assert MockProver.run(7, Tagged45Circuit(value=17, bits=4),
+                          [], fs=FQ).verify()
+    assert MockProver.run(7, Tagged45Circuit(value=33, bits=5),
+                          [], fs=FQ).verify()
