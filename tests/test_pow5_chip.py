@@ -65,3 +65,29 @@ def test_pow5_wrong_output_fails():
     prover = MockProver.run(K, HashCircuit(msg),
                             [[(expected + 1) % FQ.modulus]], fs=FQ)
     assert prover.verify()  # non-empty error list
+
+
+def test_poseidon_hash_gadget_class():
+    """The class-based Sponge/Hash API produces the primitive's value."""
+    from halo2_tpu.gadgets.poseidon.gadget import Hash as HashGadget
+    from halo2_tpu.gadgets.poseidon import Pow5Chip as _PC
+
+    class HashClassCircuit(HashCircuit):
+        def synthesize(self, config, layouter):
+            chip = Pow5Chip(config["pow5"])
+
+            def load_message(region):
+                return [region.assign_advice(
+                    f"m{i}", config["message"], i,
+                    lambda m=m: (Value.known(m) if m is not None
+                                 else Value.unknown()))
+                    for i, m in enumerate(self.message or [None, None])]
+
+            message = layouter.assign_region("load message", load_message)
+            out = HashGadget(chip, layouter, 2).hash(message)
+            layouter.constrain_instance(out.cell, config["instance"], 0)
+
+    msg = [17, 23]
+    expected = poseidon_hash(FQ, SPEC, msg)
+    MockProver.run(K, HashClassCircuit(msg), [[expected]],
+                   fs=FQ).assert_satisfied()
