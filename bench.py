@@ -95,7 +95,7 @@ def main() -> None:
         return
 
     k = int(os.environ.get("HALO2_TPU_BENCH_K", "11"))
-    timeout = int(os.environ.get("HALO2_TPU_BENCH_TIMEOUT", "1200"))
+    timeout = int(os.environ.get("HALO2_TPU_BENCH_TIMEOUT", "900"))
     attempts = [(k, None), (max(k - 2, 8), None), (9, "cpu")]
     for kk, platform in attempts:
         env = dict(os.environ)

@@ -146,3 +146,21 @@ def test_mul_circuit_accumulator_and_batch(params):
     proof2 = _prove(params, pk, MulCircuit(2, 13), [[fs.mul(2, 13)]])
     batch.add_proof([[fs.mul(2, 13)]], proof2)
     assert batch.finalize(vk)
+
+
+def test_multi_circuit_proof(params):
+    """Several circuit instances batched into ONE proof (the reference's
+    create_proof takes circuits: &[C] — prover.rs:35-56)."""
+    fs = PALLAS.scalar
+    c1, c2 = MulCircuit(3, 4), MulCircuit(5, 6)
+    vk = keygen_vk(params, c1)
+    pk = keygen_pk(params, vk, c1)
+    tw = TranscriptWrite(PALLAS)
+    create_proof(params, pk, [c1, c2], [[[12]], [[30]]], RNG, tw)
+    proof = tw.finalize()
+    tr = TranscriptRead(PALLAS, proof)
+    verify_proof(params, vk, SingleVerifier(params), [[[12]], [[30]]], tr)
+    with pytest.raises(VerificationError):
+        tr2 = TranscriptRead(PALLAS, proof)
+        verify_proof(params, vk, SingleVerifier(params),
+                     [[[12]], [[31]]], tr2)
