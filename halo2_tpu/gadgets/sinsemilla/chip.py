@@ -96,7 +96,7 @@ class SinsemillaChip(Chip):
             z_next = cells.query_advice(bits, Rotation(1))
             word = z_cur - q_run * z_next * Constant(1 << K)
             xp = cells.query_advice(x_p, Rotation(0))
-            l1 = cells.query_advice(lambda_1, rotation_cur := Rotation(0))
+            l1 = cells.query_advice(lambda_1, Rotation(0))
             xa = cells.query_advice(x_a, Rotation(0))
             y_p = Y_A(cells, Rotation(0)) * Constant(two_inv) \
                 - l1 * (xa - xp)
