@@ -119,3 +119,76 @@ def to_limbs_first(a: jnp.ndarray) -> jnp.ndarray:
 
 def from_limbs_first(a_t: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(a_t, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# limbs-first elementwise ops (adds/subs stay in XLA; they fuse fine)
+# ---------------------------------------------------------------------------
+
+def _unstack0(a):
+    return [a[i] for i in range(NLIMBS)]
+
+
+def _add_raw0(a, b):
+    out, c = [], jnp.zeros_like(a[0])
+    for i in range(NLIMBS):
+        t = a[i] + b[i] + c
+        out.append(t & MASK)
+        c = t >> LIMB_BITS
+    return out, c
+
+
+def _sub_raw0(a, b):
+    out, borrow = [], jnp.zeros_like(a[0])
+    for i in range(NLIMBS):
+        t = a[i] + jnp.uint32(1 << LIMB_BITS) - b[i] - borrow
+        out.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
+    return out, borrow
+
+
+def fadd_t(df: DeviceField, a_t, b_t):
+    """Modular add on limbs-first [16, ...] arrays."""
+    s, carry = _add_raw0(_unstack0(a_t), _unstack0(b_t))
+    p = [jnp.full_like(s[0], l) for l in df.p_limbs]
+    d, borrow = _sub_raw0(s, p)
+    use_d = (carry | (jnp.uint32(1) - borrow)).astype(jnp.bool_)
+    return jnp.stack([jnp.where(use_d, x, y) for x, y in zip(d, s)],
+                     axis=0)
+
+
+def fsub_t(df: DeviceField, a_t, b_t):
+    d, borrow = _sub_raw0(_unstack0(a_t), _unstack0(b_t))
+    p = [jnp.full_like(d[0], l) for l in df.p_limbs]
+    dp, _ = _add_raw0(d, p)
+    use_dp = borrow.astype(jnp.bool_)
+    return jnp.stack([jnp.where(use_dp, x, y) for x, y in zip(dp, d)],
+                     axis=0)
+
+
+def ntt_pallas(df: DeviceField, a_t, plan, interpret: bool | None = None):
+    """Radix-2 NTT on a limbs-first [16, n] Montgomery array using the
+    Pallas multiply for the butterfly twiddles (the round-2 hot path;
+    plan from ops.ntt.make_plan)."""
+    n = plan.n
+    perm = jnp.asarray(plan.perm)
+    x = a_t[:, perm]
+    for s, tw in enumerate(plan.twiddles, start=1):
+        m = 1 << s
+        half = m // 2
+        xr = x.reshape(NLIMBS, n // m, m)
+        lo = xr[:, :, :half].reshape(NLIMBS, n // 2)
+        hi = xr[:, :, half:].reshape(NLIMBS, n // 2)
+        # twiddles [half, 16] -> limbs-first [16, half], repeated per
+        # butterfly group: build [16, n//m, half] then flatten
+        tw_t = jnp.transpose(jnp.asarray(tw), (1, 0))
+        tw_full = jnp.broadcast_to(tw_t[:, None, :],
+                                   (NLIMBS, n // m, half)
+                                   ).reshape(NLIMBS, n // 2)
+        t = fmul_pallas(df, hi, tw_full, interpret=interpret)
+        top = fadd_t(df, lo, t)
+        bot = fsub_t(df, lo, t)
+        x = jnp.concatenate([
+            top.reshape(NLIMBS, n // m, half),
+            bot.reshape(NLIMBS, n // m, half)], axis=2).reshape(NLIMBS, n)
+    return x
