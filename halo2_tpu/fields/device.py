@@ -247,20 +247,14 @@ def fpow(df: DeviceField, a, exponent: int):
         return df.ones(a.shape[:-1])
     bits = [int(b) for b in bin(exponent)[2:]]
     bits_arr = jnp.asarray(bits, dtype=jnp.uint32)
-    one = jnp.broadcast_to(df.scalar(1), a.shape)
 
     def body(i, acc):
         acc = fsquare(df, acc)
         mul = fmul(df, acc, a)
-        bit = bits_arr[i]
-        return jnp.where((bit == 1)[..., None] if bit.ndim else bit == 1,
-                         mul, acc)
+        return jnp.where(bits_arr[i] == 1, mul, acc)
 
-    # first bit is always 1: start from a
-    acc = a
-    acc = jax.lax.fori_loop(1, len(bits), body, acc)
-    del one
-    return acc
+    # the leading bit is always 1: start from a
+    return jax.lax.fori_loop(1, len(bits), body, a)
 
 
 def finv(df: DeviceField, a):
