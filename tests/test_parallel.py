@@ -22,9 +22,11 @@ def test_mesh_has_8_devices():
 
 
 def test_sharded_msm_matches_host():
+    # D=4 keeps the shard_map compile tractable on CPU; the 8-device
+    # configuration is exercised by __graft_entry__.dryrun_multichip.
     spec, cv = PALLAS, PALLAS_DEV
-    mesh = make_mesh(8)
-    n = 64
+    mesh = make_mesh(4)
+    n = 16
     pts = [spec.mul(spec.generator, RNG.randrange(1, 1 << 100))
            for _ in range(n)]
     scalars = [RNG.randrange(spec.scalar.modulus) for _ in range(n)]
@@ -38,14 +40,14 @@ def test_sharded_msm_matches_host():
 
 def test_sharded_ntt_matches_local():
     spec, dev = FQ, FQ_DEV
-    mesh = make_mesh(8)
-    k = 9  # n=512, D^2=64 | 512
+    mesh = make_mesh(4)
+    k = 6  # n=64, D^2=16 | 64
     n = 1 << k
     omega = pow(spec.root_of_unity, 1 << (spec.s - k), spec.modulus)
     vals = [RNG.randrange(spec.modulus) for _ in range(n)]
     x = jnp.asarray(dev.to_mont_np(vals))
 
     local = ntt(dev, x, make_plan(dev, n, omega))
-    plan = ShardedNttPlan(dev, n, omega, 8)
+    plan = ShardedNttPlan(dev, n, omega, 4)
     dist = sharded_ntt(dev, mesh, plan, x)
     assert np.array_equal(np.asarray(local), np.asarray(dist))
