@@ -39,6 +39,7 @@ class SinsemillaConfig:
     table_x: object
     table_y: object
     field: object
+    allow_init_from_private_point: bool = False
 
 
 @dataclass
@@ -56,7 +57,9 @@ class SinsemillaChip(Chip):
 
     @staticmethod
     def configure(meta, advices, witness_pieces, fixed_y_q,
-                  lookup_columns, field=FP) -> SinsemillaConfig:
+                  lookup_columns, field=FP,
+                  allow_init_from_private_point: bool = False
+                  ) -> SinsemillaConfig:
         """advices: 5 advice columns; lookup_columns: 3 TableColumns."""
         for col in advices:
             meta.enable_equality(col)
@@ -110,7 +113,12 @@ class SinsemillaChip(Chip):
 
         def init_y_q(cells):
             q4 = cells.query_selector(q_s4)
-            y_q = cells.query_fixed(fixed_y_q, Rotation(0))
+            if allow_init_from_private_point:
+                # y_Q rides in the x_p column on the previous row
+                # (chip.rs:225-236)
+                y_q = cells.query_advice(x_p, Rotation(-1))
+            else:
+                y_q = cells.query_fixed(fixed_y_q, Rotation(0))
             return [("init_y_q_check",
                      q4 * (y_q * 2 - Y_A(cells, Rotation(0))))]
 
@@ -140,7 +148,8 @@ class SinsemillaChip(Chip):
             fixed_y_q=fixed_y_q, x_a=x_a, x_p=x_p, bits=bits,
             lambda_1=lambda_1, lambda_2=lambda_2,
             witness_pieces=witness_pieces, table_idx=table_idx,
-            table_x=table_x, table_y=table_y, field=field)
+            table_x=table_x, table_y=table_y, field=field,
+            allow_init_from_private_point=allow_init_from_private_point)
 
     def load_table(self, layouter) -> None:
         """(idx, x, y) of S[0..2^K) (generator_table.rs load)."""
@@ -170,6 +179,105 @@ class SinsemillaChip(Chip):
         cell = layouter.assign_region("witness message piece", region_fn)
         return MessagePiece(cell=cell, num_words=num_words)
 
+    def _hash_piece(self, region, offset, piece, x_a_val, y_a_val,
+                    final_piece):
+        """One message piece's word rows (hash_to_point.rs hash_piece)."""
+        cfg = self._config
+        p = cfg.field.modulus
+        n_words = piece.num_words
+        for row in range(n_words):
+            region.enable_selector("q_s1", cfg.q_sinsemilla1, offset + row)
+        for row in range(n_words - 1):
+            region.assign_fixed("q_s2=1", cfg.q_sinsemilla2, offset + row,
+                                lambda: Value.known(1))
+        region.assign_fixed(
+            "q_s2 last", cfg.q_sinsemilla2, offset + n_words - 1,
+            lambda fp=final_piece: Value.known(2 if fp else 0))
+
+        words = piece.cell.value.map(
+            lambda v: [(v >> (K * i)) & ((1 << K) - 1)
+                       for i in range(n_words)])
+
+        zs = [piece.cell.copy_advice("z_0", region, cfg.bits, offset)]
+        inv2k = pow(1 << K, p - 2, p)
+        z_val = piece.cell.value
+        for i in range(n_words - 1):
+            z_val = z_val.zip(words).map(
+                lambda t, i=i: (t[0] - t[1][i]) * inv2k % p)
+            zs.append(region.assign_advice(
+                f"z_{i+1}", cfg.bits, offset + i + 1, lambda v=z_val: v))
+
+        x_a_cell = None
+        for row in range(n_words):
+            gen = words.map(lambda w, row=row: sinsemilla_s(w[row]))
+            region.assign_advice("x_p", cfg.x_p, offset + row,
+                                 lambda g=gen: g.map(lambda t: t[0]))
+            lam1 = y_a_val.zip(gen).zip(x_a_val).map(
+                lambda t: (t[0][0] - t[0][1][1])
+                * pow((t[1] - t[0][1][0]) % p, p - 2, p) % p)
+            region.assign_advice("lambda_1", cfg.lambda_1, offset + row,
+                                 lambda v=lam1: v)
+            x_r_val = lam1.zip(x_a_val.zip(gen)).map(
+                lambda t: (t[0] * t[0] - t[1][0] - t[1][1][0]) % p)
+            lam2 = y_a_val.zip(x_a_val.zip(x_r_val)).zip(lam1).map(
+                lambda t: (2 * t[0][0]
+                           * pow((t[0][1][0] - t[0][1][1]) % p,
+                                 p - 2, p) - t[1]) % p)
+            region.assign_advice("lambda_2", cfg.lambda_2, offset + row,
+                                 lambda v=lam2: v)
+            x_a_new = lam2.zip(x_a_val.zip(x_r_val)).map(
+                lambda t: (t[0] * t[0] - t[1][0] - t[1][1]) % p)
+            y_a_new = lam2.zip(x_a_val.zip(x_a_new)).zip(y_a_val).map(
+                lambda t: (t[0][0] * (t[0][1][0] - t[0][1][1])
+                           - t[1]) % p)
+            x_a_cell = region.assign_advice(
+                "x_a", cfg.x_a, offset + row + 1, lambda v=x_a_new: v)
+            x_a_val = x_a_new
+            y_a_val = y_a_new
+        return offset + n_words, x_a_val, y_a_val, x_a_cell, zs
+
+    def hash_to_point_with_private_init(self, layouter, Q_point,
+                                        pieces: list[MessagePiece]):
+        """Private-point initialization (hash_to_point.rs:176-215):
+        Q is a witnessed NonIdentity EccPoint; raises
+        IllegalHashFromPrivatePoint unless the chip was configured with
+        allow_init_from_private_point (error.rs:44)."""
+        from ...plonk.error import IllegalHashFromPrivatePoint
+        cfg = self._config
+        if not cfg.allow_init_from_private_point:
+            raise IllegalHashFromPrivatePoint()
+        f = cfg.field
+        p = f.modulus
+
+        def region_fn(region):
+            # | offset | x_A | x_P | q_s4 |
+            # |   0    |     | y_Q |      |
+            # |   1    | x_Q |     |  1   |
+            region.enable_selector("q_s4", cfg.q_sinsemilla4, 1)
+            Q_point.y.copy_advice("y_q", region, cfg.x_p, 0)
+            Q_point.x.copy_advice("x_q", region, cfg.x_a, 1)
+            offset = 1
+            x_a_val = Q_point.x.value
+            y_a_val = Q_point.y.value
+            zs_all = []
+            x_a_cell = None
+            for piece_idx, piece in enumerate(pieces):
+                (offset, x_a_val, y_a_val, x_a_cell, zs) = \
+                    self._hash_piece(region, offset, piece,
+                                     x_a_val, y_a_val,
+                                     piece_idx == len(pieces) - 1)
+                zs_all.append(zs)
+            y_a_cell = region.assign_advice("y_a final", cfg.lambda_1,
+                                            offset, lambda: y_a_val)
+            region.assign_advice("dummy l2", cfg.lambda_2, offset,
+                                 lambda: Value.known(0))
+            region.assign_advice("dummy x_p", cfg.x_p, offset,
+                                 lambda: Value.known(0))
+            return EccPoint(x_a_cell, y_a_cell), zs_all
+
+        return layouter.assign_region("hash_to_point (private init)",
+                                      region_fn)
+
     def hash_to_point(self, layouter, Q, pieces: list[MessagePiece]):
         """Public-Q initialization; returns (EccPoint, zs per piece)."""
         cfg = self._config
@@ -179,7 +287,13 @@ class SinsemillaChip(Chip):
 
         def region_fn(region):
             offset = 0
-            # init rows (hash_to_point.rs:113-173)
+            # init rows (hash_to_point.rs:113-173); with private-init
+            # support enabled, the public path also writes y_Q into the
+            # x_p/prev slot the gate queries (one extra row)
+            if cfg.allow_init_from_private_point:
+                region.assign_advice("y_q (public)", cfg.x_p, 0,
+                                     lambda: Value.known(y_q))
+                offset = 1
             region.enable_selector("q_s4", cfg.q_sinsemilla4, offset)
             region.assign_fixed("fixed y_q", cfg.fixed_y_q, offset,
                                 lambda: Value.known(y_q))
@@ -189,73 +303,13 @@ class SinsemillaChip(Chip):
             y_a_val = Value.known(y_q)
             zs_all = []
 
+            x_a_cell = None
             for piece_idx, piece in enumerate(pieces):
-                final_piece = piece_idx == len(pieces) - 1
-                n_words = piece.num_words
-                # selectors
-                for row in range(n_words):
-                    region.enable_selector("q_s1", cfg.q_sinsemilla1,
-                                           offset + row)
-                for row in range(n_words - 1):
-                    region.assign_fixed("q_s2=1", cfg.q_sinsemilla2,
-                                        offset + row,
-                                        lambda: Value.known(1))
-                region.assign_fixed(
-                    "q_s2 last", cfg.q_sinsemilla2, offset + n_words - 1,
-                    lambda fp=final_piece: Value.known(2 if fp else 0))
-
-                words = piece.cell.value.map(
-                    lambda v: [(v >> (K * i)) & ((1 << K) - 1)
-                               for i in range(n_words)])
-
-                # z running sum
-                zs = [piece.cell.copy_advice("z_0", region, cfg.bits,
-                                             offset)]
-                inv2k = pow(1 << K, p - 2, p)
-                z_val = piece.cell.value
-                for i in range(n_words - 1):
-                    z_val = z_val.zip(words).map(
-                        lambda t, i=i: (t[0] - t[1][i]) * inv2k % p)
-                    zs.append(region.assign_advice(
-                        f"z_{i+1}", cfg.bits, offset + i + 1,
-                        lambda v=z_val: v))
+                (offset, x_a_val, y_a_val, x_a_cell, zs) = \
+                    self._hash_piece(region, offset, piece, x_a_val,
+                                     y_a_val,
+                                     piece_idx == len(pieces) - 1)
                 zs_all.append(zs)
-
-                # double-and-add rows
-                for row in range(n_words):
-                    gen = words.map(lambda w, row=row:
-                                    sinsemilla_s(w[row]))
-                    region.assign_advice(
-                        "x_p", cfg.x_p, offset + row,
-                        lambda g=gen: g.map(lambda t: t[0]))
-
-                    lam1 = y_a_val.zip(gen).zip(x_a_val).map(
-                        lambda t: (t[0][0] - t[0][1][1])
-                        * pow((t[1] - t[0][1][0]) % p, p - 2, p) % p)
-                    region.assign_advice("lambda_1", cfg.lambda_1,
-                                         offset + row,
-                                         lambda v=lam1: v)
-                    x_r_val = lam1.zip(x_a_val.zip(gen)).map(
-                        lambda t: (t[0] * t[0] - t[1][0] - t[1][1][0]) % p)
-                    lam2 = y_a_val.zip(x_a_val.zip(x_r_val)).zip(lam1).map(
-                        lambda t: (2 * t[0][0]
-                                   * pow((t[0][1][0] - t[0][1][1]) % p,
-                                         p - 2, p) - t[1]) % p)
-                    region.assign_advice("lambda_2", cfg.lambda_2,
-                                         offset + row,
-                                         lambda v=lam2: v)
-                    x_a_new = lam2.zip(x_a_val.zip(x_r_val)).map(
-                        lambda t: (t[0] * t[0] - t[1][0] - t[1][1]) % p)
-                    y_a_new = lam2.zip(x_a_val.zip(x_a_new)).zip(
-                        y_a_val).map(
-                        lambda t: (t[0][0] * (t[0][1][0] - t[0][1][1])
-                                   - t[1]) % p)
-                    x_a_cell = region.assign_advice(
-                        "x_a", cfg.x_a, offset + row + 1,
-                        lambda v=x_a_new: v)
-                    x_a_val = x_a_new
-                    y_a_val = y_a_new
-                offset += n_words
 
             # final row: y_a in lambda_1 column + dummy λ2/x_p
             y_a_cell = region.assign_advice("y_a final", cfg.lambda_1,

@@ -82,3 +82,78 @@ def test_sinsemilla_chip_wrong_output_fails():
     prover = MockProver.run(11, SinsemillaCircuit(piece1, piece2),
                             [[(expected[0] + 1) % FP.modulus]], fs=FP)
     assert prover.verify()
+
+
+class PrivateInitCircuit(Circuit):
+    """hash_to_point from a witnessed (private) Q point."""
+
+    def __init__(self, q=None, piece=None):
+        self.q = q
+        self.piece = piece
+
+    def without_witnesses(self):
+        return PrivateInitCircuit()
+
+    @classmethod
+    def configure(cls, meta):
+        from halo2_tpu.gadgets.ecc import EccChip
+        advices = [meta.advice_column() for _ in range(5)]
+        witness_pieces = meta.advice_column()
+        fixed_y_q = meta.fixed_column()
+        constants = meta.fixed_column()
+        meta.enable_constant(constants)
+        lookup = (meta.lookup_table_column(), meta.lookup_table_column(),
+                  meta.lookup_table_column())
+        instance = meta.instance_column()
+        meta.enable_equality(instance)
+        ecc_advices = [meta.advice_column() for _ in range(10)]
+        ecc = EccChip.configure(meta, ecc_advices, FP)
+        cfg = SinsemillaChip.configure(
+            meta, advices, witness_pieces, fixed_y_q, lookup, FP,
+            allow_init_from_private_point=True)
+        return {"sin": cfg, "ecc": ecc, "instance": instance}
+
+    def synthesize(self, config, layouter):
+        from halo2_tpu.gadgets.ecc import EccChip
+        chip = SinsemillaChip(config["sin"])
+        chip.load_table(layouter)
+        ecc = EccChip(config["ecc"])
+        q_pt = ecc.witness_point_non_id(
+            layouter,
+            Value.known(self.q) if self.q is not None else Value.unknown())
+        p1 = chip.witness_message_piece(
+            layouter,
+            Value.known(self.piece) if self.piece is not None
+            else Value.unknown(), 2)
+        point, _ = chip.hash_to_point_with_private_init(layouter, q_pt,
+                                                        [p1])
+        layouter.constrain_instance(point.x.cell, config["instance"], 0)
+
+
+def test_private_init_hash():
+    from halo2_tpu.gadgets.sinsemilla.primitive import (sinsemilla_s,
+                                                        _incomplete_add)
+    q = PALLAS.mul(PALLAS.generator, 987654321)
+    piece = 0b0110011010_1010010110
+    # host reference from the private Q
+    acc = q
+    for i in range(2):
+        word = (piece >> (K * i)) & ((1 << K) - 1)
+        acc = _incomplete_add(_incomplete_add(acc, sinsemilla_s(word)), acc)
+    prover = MockProver.run(11, PrivateInitCircuit(q, piece), [[acc[0]]],
+                            fs=FP)
+    prover.assert_satisfied()
+
+
+def test_private_init_requires_flag():
+    from halo2_tpu.plonk.error import IllegalHashFromPrivatePoint
+    d = HashDomain(DOMAIN)
+    # a chip configured WITHOUT the flag must refuse
+    prover_cls = SinsemillaCircuit  # public-init config
+    import pytest as _pytest
+    from halo2_tpu.plonk.circuit import ConstraintSystem
+    meta = ConstraintSystem()
+    cfg = SinsemillaCircuit.configure(meta)["sinsemilla"]
+    chip = SinsemillaChip(cfg)
+    with _pytest.raises(IllegalHashFromPrivatePoint):
+        chip.hash_to_point_with_private_init(None, None, [])
