@@ -21,6 +21,34 @@ from ..ops.ntt import NttPlan, make_plan, ntt, int_to_limbs
 from .polynomial import Rotation
 
 
+import os as _os
+
+# On TPU, NTTs at or above this size run through the Pallas limbs-first
+# butterfly kernel (ops/pallas_field.ntt_pallas); below it, or on CPU,
+# the fused-XLA path is used. Tunable for experiments.
+PALLAS_NTT_MIN = int(_os.environ.get("HALO2_TPU_PALLAS_NTT_MIN", "4096"))
+
+
+def _use_pallas(n: int) -> bool:
+    if n < PALLAS_NTT_MIN:
+        return False
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _ntt_dispatch(df: DeviceField, values, plan):
+    """ntt() or the Pallas limbs-first path, by size/platform."""
+    if _use_pallas(plan.n):
+        from ..ops.pallas_field import (ntt_pallas, to_limbs_first,
+                                        from_limbs_first)
+        return from_limbs_first(ntt_pallas(df, to_limbs_first(values),
+                                           plan))
+    return ntt(df, values, plan)
+
+
 class EvaluationDomain:
     def __init__(self, df: DeviceField, j: int, k: int):
         """j = circuit degree (quotient_poly_degree + 1), k = log2(rows)."""
@@ -88,24 +116,25 @@ class EvaluationDomain:
     # ---------------- transforms (device) ----------------
     def lagrange_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
         assert values.shape[0] == self.n
-        x = ntt(self.df, values, self.plan_inv)
+        x = _ntt_dispatch(self.df, values, self.plan_inv)
         return fmul(self.df, x,
                     jnp.broadcast_to(self._ifft_divisor, x.shape))
 
     def coeff_to_lagrange(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        return ntt(self.df, coeffs, self.plan)
+        return _ntt_dispatch(self.df, coeffs, self.plan)
 
     def coeff_to_extended(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         assert coeffs.shape[0] == self.n
         a = fmul(self.df, coeffs, self._coset_in)
         pad = jnp.zeros((self.extended_n - self.n, NLIMBS), dtype=a.dtype)
-        return ntt(self.df, jnp.concatenate([a, pad], axis=0), self.plan_ext)
+        return _ntt_dispatch(self.df, jnp.concatenate([a, pad], axis=0),
+                             self.plan_ext)
 
     def extended_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
         """iFFT + un-coset; returns all extended_n coefficients (caller
         truncates to n * quotient_poly_degree, domain.rs:303-325)."""
         assert values.shape[0] == self.extended_n
-        x = ntt(self.df, values, self.plan_ext_inv)
+        x = _ntt_dispatch(self.df, values, self.plan_ext_inv)
         x = fmul(self.df, x,
                  jnp.broadcast_to(self._ext_ifft_divisor, x.shape))
         return fmul(self.df, x, self._coset_out_ext)
