@@ -50,13 +50,6 @@ def main():
     }), flush=True)
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "ntt":
-        bench_ntt(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
-    else:
-        main()
-
-
 def bench_ntt(k: int):
     """NTT butterflies/s via the Pallas path (BASELINE NTT metric)."""
     import numpy as np
@@ -88,3 +81,10 @@ def bench_ntt(k: int):
         "unit": "butterflies/s",
         "platform": jax.default_backend(),
     }), flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "ntt":
+        bench_ntt(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    else:
+        main()
