@@ -14,13 +14,19 @@ Construction (matching pasta_curves 0.5.1 structurally):
   3. add the two E' points, then apply the degree-3 isogeny E' -> E.
 
 The iso-curve and isogeny are DERIVED here at import time via Velu's
-formulas rather than hardcoded: kernel x0 = cbrt(-20) on E gives
-E' = (a', b' = 1265) — b' = 1265 matches pasta's published iso constant,
-confirming E' is the same curve; the dual isogeny from E' has a rational
-kernel and image y^2 = x^3 + 5*3^6, closed by the isomorphism u = 1/3.
-The sign/automorphism normalization of the final map is pinned to u = +1/3;
-if byte-level disagreement with pasta_curves' generator tables is found it
-is a constant-factor fix here (tracked in PARITY.md).
+formulas rather than hardcoded: a kernel x0 with x0^3 = -20 on E gives
+E' = (a' = -30*x0^2, b' = 1265); the dual isogeny from E' has a unique
+rational kernel and image y^2 = x^3 + 5*3^6, closed by the isomorphism
+u = 1/3.  Two normalization freedoms exist and are pinned to pasta's
+published choices:
+  * which cube root of -20 (three kernels, all with b' = 1265 but a'
+    differing by zeta_3 factors): selected so a' equals pasta's published
+    iso-curve A constant (ISO_A below).
+  * the sign of the closing isomorphism: u = +1/3.
+With these pins the derived rational map was checked to agree with
+pasta_curves' published 13 ISOGENY_CONSTANTS on both coordinates for
+random E'(Fp) points (iso-Pallas), i.e. the map is byte-identical, not
+merely isomorphic.
 """
 from __future__ import annotations
 
@@ -29,6 +35,15 @@ import hashlib
 
 from ..fields.host import FieldSpec, FP, FQ
 from .host import CurveSpec, PALLAS, VESTA, Point
+
+
+# pasta_curves' published iso-curve A coefficients (hashtocurve constants;
+# IsoEp::a / IsoEq::a).  Used only to SELECT among the three Velu kernel
+# cube roots — everything else is derived.  b' = 1265 for both curves.
+ISO_A = {
+    "pallas": 0x18354a2eb0ea8c9c49be2d7258370742b74134581a27a59f92bb4b0b657a014b,
+    "vesta": 0x267f9b2ee592271a81639c4d96f787739673928c7d01b212c515ad7242eaa6b1,
+}
 
 
 def _cbrt(spec: FieldSpec, v: int) -> int | None:
@@ -63,14 +78,22 @@ class SswuParams:
         self.curve = curve
         f = curve.base
         p = f.modulus
-        # --- iso-curve E' via Velu from E with kernel x0 = cbrt(-20) ---
+        # --- iso-curve E' via Velu from E with kernel x0, x0^3 = -20 ---
+        # Three cube roots -> three kernels; pick the one whose Velu
+        # codomain A matches pasta's published constant (see ISO_A).
         x0 = _cbrt(f, -20)
         assert x0 is not None
+        zeta = f.zeta
+        for _ in range(3):
+            if (-30 * x0 * x0) % p == ISO_A[curve.name]:
+                break
+            x0 = x0 * zeta % p
         t = 6 * x0 * x0 % p
         u = 4 * ((x0 ** 3 + curve.b) % p) % p
         w = (u + x0 * t) % p
         self.iso_a = (-5 * t) % p
         self.iso_b = (curve.b - 7 * w) % p
+        assert self.iso_a == ISO_A[curve.name]
         assert self.iso_b == 1265  # pasta's published iso-curve constant
         # --- dual isogeny E' -> E: rational kernel root on E' ---
         x1 = self._rational_kernel_root()
