@@ -234,12 +234,18 @@ class SswuParams:
         return b"".join(bvals)[:len_in_bytes]
 
     def hash_to_field(self, domain_prefix: str, msg: bytes) -> tuple[int, int]:
+        """pasta quirk: each 64-byte BLAKE2b chunk is REVERSED (treated as
+        big-endian) before the little-endian from_uniform_bytes reduction
+        (pasta_curves hashtocurve.rs `little.reverse()`).  Verified against
+        the reference's plonk_api vk commitments: with the reversal our
+        Vesta w = hash([1]) equals the golden fixed commitment byte-exactly
+        (tests/test_plonk_api_parity.py)."""
         dst = (domain_prefix + "-" + self.curve.name +
                "_XMD:BLAKE2b_SSWU_RO_").encode()
         uniform = self.expand_message_xmd(msg, dst, 128)
         f = self.curve.base
-        return (f.from_uniform_bytes(uniform[:64]),
-                f.from_uniform_bytes(uniform[64:]))
+        return (f.from_uniform_bytes(uniform[:64][::-1]),
+                f.from_uniform_bytes(uniform[64:][::-1]))
 
     def hash_to_curve(self, domain_prefix: str, msg: bytes) -> Point:
         u0, u1 = self.hash_to_field(domain_prefix, msg)

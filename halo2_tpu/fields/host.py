@@ -56,8 +56,16 @@ class FieldSpec:
 
     @functools.cached_property
     def zeta(self) -> int:
-        # Cube root of unity (WithSmallOrderMulGroup<3>): g^((p-1)/3).
-        z = pow(self.generator, (self.modulus - 1) // 3, self.modulus)
+        # Cube root of unity (WithSmallOrderMulGroup<3>).  Two primitive
+        # roots exist; pasta's published ZETA constants are g^(2(p-1)/3)
+        # for Fp and g^((q-1)/3) for Fq.  The Fp orientation is proven by
+        # the plonk_api golden vk (its lookup table commits 2834758237 *
+        # Fp::ZETA; tests/test_plonk_api_parity.py), and the Fq
+        # orientation then follows from the curve-endomorphism
+        # consistency [Fq::ZETA]P = (Fp::ZETA * x, y) on Pallas, which
+        # holds for exactly one pairing of the roots.
+        e = 2 if self.name == "Fp" else 1
+        z = pow(self.generator, e * (self.modulus - 1) // 3, self.modulus)
         assert pow(z, 3, self.modulus) == 1 and z != 1
         return z
 

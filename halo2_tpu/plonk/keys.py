@@ -31,43 +31,25 @@ class VerifyingKey:
     selectors: list[list[bool]] = field(default_factory=list)
 
     def pinned_text(self) -> str:
-        """Canonical text of the pinned verification key
-        (PinnedVerificationKey, plonk.rs:105-128)."""
-        lines = []
-        lines.append(f"base_modulus: {hex(self.curve.base.modulus)}")
-        lines.append(f"scalar_modulus: {hex(self.curve.scalar.modulus)}")
-        d = self.domain.pinned()
-        lines.append(f"domain: k={d['k']} extended_k={d['extended_k']} "
-                     f"omega={hex(d['omega'])}")
-        cs = self.cs
-        lines.append(f"num_fixed_columns: {cs.num_fixed_columns}")
-        lines.append(f"num_advice_columns: {cs.num_advice_columns}")
-        lines.append(f"num_instance_columns: {cs.num_instance_columns}")
-        lines.append(f"num_selectors: {cs.num_selectors}")
-        for g in cs.gates:
-            for p in g.polys:
-                lines.append(f"gate: {p!r}")
-        lines.append(f"advice_queries: {cs.advice_queries!r}")
-        lines.append(f"instance_queries: {cs.instance_queries!r}")
-        lines.append(f"fixed_queries: {cs.fixed_queries!r}")
-        lines.append(f"permutation_columns: {cs.permutation.columns!r}")
-        for lk in cs.lookups:
-            lines.append(f"lookup: in={lk.input_expressions!r} "
-                         f"table={lk.table_expressions!r}")
-        lines.append(f"constants: {cs.constants!r}")
-        lines.append(f"minimum_degree: {cs.minimum_degree!r}")
-        for c in self.fixed_commitments:
-            lines.append(f"fixed_commitment: {self.curve.to_bytes(c).hex()}")
-        for c in self.permutation_commitments:
-            lines.append(
-                f"permutation_commitment: {self.curve.to_bytes(c).hex()}")
-        return "\n".join(lines)
+        """The Rust `{:#?}` (alternate Debug) text of the pinned
+        verification key — byte-identical to the reference's
+        `format!("{:#?}", vk.pinned())` (tests/plonk_api.rs:589)."""
+        from .pinned import pinned_vk_node, render_alternate
+        return render_alternate(pinned_vk_node(self))
+
+    def pinned_text_compact(self) -> str:
+        """The Rust `{:?}` text of the pinned vk — exactly the string the
+        reference hashes into transcript_repr (plonk.rs:80)."""
+        from .pinned import pinned_vk_node, render_compact
+        return render_compact(pinned_vk_node(self))
 
     def transcript_repr(self) -> int:
+        """plonk.rs:75-90: blake2b-512(person=b"Halo2-Verify-Key") over
+        u64-le(len(s)) || s where s = format!("{:?}", vk.pinned())."""
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-        text = self.pinned_text()
-        h.update(f"halo2-tpu verify key with s={len(text)}:".encode())
-        h.update(text.encode())
+        text = self.pinned_text_compact().encode()
+        h.update(len(text).to_bytes(8, "little"))
+        h.update(text)
         return self.curve.scalar.from_uniform_bytes(h.digest())
 
     def hash_into(self, transcript) -> None:
