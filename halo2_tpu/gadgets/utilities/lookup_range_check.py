@@ -40,7 +40,9 @@ class LookupRangeCheckConfig:
             qr = cells.query_selector(q_running)
             z_cur = cells.query_advice(running_sum, Rotation(0))
             z_next = cells.query_advice(running_sum, Rotation(1))
-            running_word = z_cur - z_next * Constant(1 << k)
+            # z_next * int -> Scaled, matching the reference's Mul<F>
+            # (vk Debug parity: tests/test_gadget_vk_parity.py)
+            running_word = z_cur - z_next * (1 << k)
             running_lookup = qr * running_word
             short_lookup = (Constant(1) - qr) * z_cur
             return [(ql * (running_lookup + short_lookup), table_idx)]
@@ -53,8 +55,7 @@ class LookupRangeCheckConfig:
             shifted = cells.query_advice(running_sum, Rotation(0))
             inv_two_pow_s = cells.query_advice(running_sum, Rotation(1))
             return [("bitshift",
-                     qb * (word * Constant(1 << k) * inv_two_pow_s
-                           - shifted))]
+                     qb * (word * (1 << k) * inv_two_pow_s - shifted))]
 
         meta.create_gate("Short lookup bitshift", bitshift)
         return LookupRangeCheckConfig(
@@ -116,7 +117,7 @@ class LookupRangeCheckConfig:
         layouter.assign_region(f"short range check {num_bits}", region_fn)
 
     def witness_short_check(self, layouter, value: Value, num_bits: int):
-        assert 0 < num_bits <= self.k
+        assert 0 <= num_bits <= self.k
 
         def region_fn(region):
             el = region.assign_advice("short element", self.running_sum, 0,
