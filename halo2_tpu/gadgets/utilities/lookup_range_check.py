@@ -144,37 +144,87 @@ class LookupRangeCheckConfig:
 
 @dataclass
 class LookupRangeCheck45BConfig(LookupRangeCheckConfig):
-    """The 4_5B variant: adds a `table_range_check_tag` column so 4-bit
-    and 5-bit short checks are a single tagged lookup instead of the
-    bitshift trick (lookup_range_check.rs:493-859)."""
+    """The 4_5B variant: a `table_range_check_tag` column lets 4-bit and
+    5-bit short checks be single-row lookups instead of the bitshift
+    trick.  One COMBINED lookup argument covers the running-sum, short,
+    and tagged checks (lookup_range_check.rs:525-640); expression shapes
+    mirror configure_with_tag exactly for vk Debug parity."""
     q_range_check_4: object = None
     q_range_check_5: object = None
     table_range_check_tag: object = None
 
     @staticmethod
-    def configure(meta, field, running_sum, table_idx,
-                  table_range_check_tag, k: int = 10
+    def configure(meta, field, running_sum, table_idx, k: int = 10
                   ) -> "LookupRangeCheck45BConfig":
-        base = LookupRangeCheckConfig.configure(meta, field, running_sum,
-                                                table_idx, k)
+        """LookupRangeCheck::configure for the 4_5B type: allocates the
+        tag table column itself (lookup_range_check.rs:643-650)."""
+        tag = meta.lookup_table_column()
+        return LookupRangeCheck45BConfig.configure_with_tag(
+            meta, field, running_sum, table_idx, tag, k)
+
+    @staticmethod
+    def configure_with_tag(meta, field, running_sum, table_idx,
+                           table_range_check_tag, k: int = 10
+                           ) -> "LookupRangeCheck45BConfig":
+        meta.enable_equality(running_sum)
+        q_lookup = meta.complex_selector()
+        q_running = meta.complex_selector()
+        q_bitshift = meta.selector()
         q4 = meta.complex_selector()
         q5 = meta.complex_selector()
 
-        def tagged_lookup(cells):
+        def lookup_fn(cells):
+            ql = cells.query_selector(q_lookup)
+            qr = cells.query_selector(q_running)
             qr4 = cells.query_selector(q4)
             qr5 = cells.query_selector(q5)
             z_cur = cells.query_advice(running_sum, Rotation(0))
-            tag = qr4 * Constant(4) + qr5 * Constant(5)
-            value = (qr4 + qr5) * z_cur
-            return [(tag, table_range_check_tag), (value, table_idx)]
+            one = Constant(1)
+            z_next = cells.query_advice(running_sum, Rotation(1))
+            running_sum_lookup = qr * (z_cur - z_next * (1 << k))
+            short_lookup = (one - qr) * z_cur
+            # 1 iff q4 or q5
+            q_range_check = one - (one - qr4) * (one - qr5)
+            # 5 if q5; 4 if q4 and not q5; else 0
+            num_bits = (qr5 * Constant(5)
+                        + (one - qr5) * qr4 * Constant(4))
+            return [
+                (ql * ((one - q_range_check)
+                       * (running_sum_lookup + short_lookup)
+                       + q_range_check * z_cur), table_idx),
+                (ql * q_range_check * num_bits, table_range_check_tag),
+            ]
 
-        meta.lookup("range check 4/5-bit tag", tagged_lookup)
+        meta.lookup("range check 4/5b", lookup_fn)
+
+        def bitshift(cells):
+            qb = cells.query_selector(q_bitshift)
+            word = cells.query_advice(running_sum, Rotation(-1))
+            shifted = cells.query_advice(running_sum, Rotation(0))
+            inv_two_pow_s = cells.query_advice(running_sum, Rotation(1))
+            return [("bitshift",
+                     qb * (word * (1 << k) * inv_two_pow_s - shifted))]
+
+        meta.create_gate("Short lookup bitshift", bitshift)
         return LookupRangeCheck45BConfig(
-            k=base.k, q_lookup=base.q_lookup, q_running=base.q_running,
-            q_bitshift=base.q_bitshift, running_sum=base.running_sum,
-            table_idx=base.table_idx, field=base.field,
+            k=k, q_lookup=q_lookup, q_running=q_running,
+            q_bitshift=q_bitshift, running_sum=running_sum,
+            table_idx=table_idx, field=field,
             q_range_check_4=q4, q_range_check_5=q5,
             table_range_check_tag=table_range_check_tag)
+
+    def _short_range_check(self, region, element, num_bits: int):
+        """4/5-bit checks are single-row tagged lookups; other widths
+        fall back to the bitshift method (lookup_range_check.rs:829-850)."""
+        if num_bits == 4:
+            region.enable_selector("q_lookup", self.q_lookup, 0)
+            region.enable_selector("q4", self.q_range_check_4, 0)
+        elif num_bits == 5:
+            region.enable_selector("q_lookup", self.q_lookup, 0)
+            region.enable_selector("q5", self.q_range_check_5, 0)
+        else:
+            LookupRangeCheckConfig._short_range_check(
+                self, region, element, num_bits)
 
     def load_table(self, layouter) -> None:
         """Rows [0,2^K) tag 0, then [0,2^4) tag 4, then [0,2^5) tag 5."""
@@ -198,14 +248,7 @@ class LookupRangeCheck45BConfig(LookupRangeCheckConfig):
 
     def witness_short_check_tagged(self, layouter, value: Value,
                                    num_bits: int):
-        """4- or 5-bit check via the tagged lookup (one row)."""
+        """Back-compat alias: 4/5-bit checks now route through the
+        standard witness_short_check (tagged single-row lookup)."""
         assert num_bits in (4, 5)
-        sel = (self.q_range_check_4 if num_bits == 4
-               else self.q_range_check_5)
-
-        def region_fn(region):
-            region.enable_selector(f"q_{num_bits}", sel, 0)
-            return region.assign_advice("short element", self.running_sum,
-                                        0, lambda: value)
-        return layouter.assign_region(
-            f"tagged short check {num_bits}", region_fn)
+        return self.witness_short_check(layouter, value, num_bits)

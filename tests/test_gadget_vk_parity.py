@@ -23,7 +23,7 @@ from halo2_tpu.poly import Params
 from halo2_tpu.circuit import Circuit, Value
 from halo2_tpu.plonk import (keygen_vk, verify_proof, SingleVerifier)
 from halo2_tpu.gadgets.utilities.lookup_range_check import (
-    LookupRangeCheckConfig)
+    LookupRangeCheckConfig, LookupRangeCheck45BConfig)
 
 K = 11
 LOOKUP_K = 10
@@ -34,15 +34,19 @@ CASES = {  # name -> (element, num_bits)   (lookup_range_check.rs:1077-1135)
     "case1": ((1 << LOOKUP_K) - 1, LOOKUP_K),
     "case2": ((1 << 6) - 1, 6),
 }
+CASES_45B = dict(CASES)  # same cases plus the pure-4-bit one (rs:1225-1232)
+CASES_45B["case3"] = ((1 << 4) - 1, 4)
 
 
 class ShortRangeCheckCircuit(Circuit):
+    lookup_cls = LookupRangeCheckConfig
+
     def __init__(self, element=None, num_bits=0):
         self.element = element
         self.num_bits = num_bits
 
     def without_witnesses(self):
-        return ShortRangeCheckCircuit(None, self.num_bits)
+        return type(self)(None, self.num_bits)
 
     @classmethod
     def configure(cls, meta):
@@ -50,8 +54,8 @@ class ShortRangeCheckCircuit(Circuit):
         table_idx = meta.lookup_table_column()
         constants = meta.fixed_column()
         meta.enable_constant(constants)
-        return LookupRangeCheckConfig.configure(meta, FP, running_sum,
-                                                table_idx, LOOKUP_K)
+        return cls.lookup_cls.configure(meta, FP, running_sum, table_idx,
+                                        LOOKUP_K)
 
     def synthesize(self, config, layouter):
         config.load_table(layouter)
@@ -62,16 +66,21 @@ class ShortRangeCheckCircuit(Circuit):
             self.num_bits)
 
 
+class ShortRangeCheck45BCircuit(ShortRangeCheckCircuit):
+    lookup_cls = LookupRangeCheck45BConfig
+
+
 class LookupCheckCircuit(Circuit):
     """MyLookupCircuit (lookup_range_check.rs:881-976): two running-sum
     decompositions of num_words words — one strict (element = 2^60 - 1),
     one non-strict (element = 2^60)."""
+    lookup_cls = LookupRangeCheckConfig
 
     def __init__(self, num_words=6):
         self.num_words = num_words
 
     def without_witnesses(self):
-        return LookupCheckCircuit(self.num_words)
+        return type(self)(self.num_words)
 
     @classmethod
     def configure(cls, meta):
@@ -79,8 +88,8 @@ class LookupCheckCircuit(Circuit):
         table_idx = meta.lookup_table_column()
         constants = meta.fixed_column()
         meta.enable_constant(constants)
-        return LookupRangeCheckConfig.configure(meta, FP, running_sum,
-                                                table_idx, LOOKUP_K)
+        return cls.lookup_cls.configure(meta, FP, running_sum, table_idx,
+                                        LOOKUP_K)
 
     def synthesize(self, config, layouter):
         config.load_table(layouter)
@@ -88,6 +97,10 @@ class LookupCheckCircuit(Circuit):
         for element, strict in (((1 << n) - 1, True), (1 << n, False)):
             config.witness_check(layouter, Value.known(element),
                                  self.num_words, strict)
+
+
+class LookupCheck45BCircuit(LookupCheckCircuit):
+    lookup_cls = LookupRangeCheck45BConfig
 
 
 @pytest.fixture(scope="module")
@@ -113,3 +126,14 @@ def test_short_range_check_parity(params, case):
 
 def test_lookup_range_check_parity(params):
     _check(params, LookupCheckCircuit(6), "lookup_range_check")
+
+
+@pytest.mark.parametrize("case", sorted(CASES_45B))
+def test_short_range_check_4_5b_parity(params, case):
+    element, num_bits = CASES_45B[case]
+    _check(params, ShortRangeCheck45BCircuit(element, num_bits),
+           f"short_range_check_4_5b_{case}")
+
+
+def test_lookup_range_check_4_5b_parity(params):
+    _check(params, LookupCheck45BCircuit(6), "lookup_range_check_4_5b")

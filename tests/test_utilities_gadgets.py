@@ -161,7 +161,7 @@ class Tagged45Circuit(Circuit):
         tag = meta.lookup_table_column()
         constants = meta.fixed_column()
         meta.enable_constant(constants)
-        return LookupRangeCheck45BConfig.configure(
+        return LookupRangeCheck45BConfig.configure_with_tag(
             meta, FQ, running_sum, table, tag, k=K_TABLE)
 
     def synthesize(self, cfg, layouter):
