@@ -39,6 +39,7 @@ class SinsemillaConfig:
     table_x: object
     table_y: object
     field: object
+    lookup_config: object = None
     allow_init_from_private_point: bool = False
 
 
@@ -57,29 +58,34 @@ class SinsemillaChip(Chip):
 
     @staticmethod
     def configure(meta, advices, witness_pieces, fixed_y_q,
-                  lookup_columns, field=FP,
+                  lookup_columns, field=FP, range_check=None,
                   allow_init_from_private_point: bool = False
                   ) -> SinsemillaConfig:
-        """advices: 5 advice columns; lookup_columns: 3 TableColumns."""
+        """advices: 5 advice columns; lookup_columns: 3 TableColumns;
+        range_check: a LookupRangeCheckConfig over lookup_columns[0]
+        (chip.rs:170-178 takes it as a parameter and stores it)."""
+        # Only the 5 advice columns are equality-enabled here; callers
+        # enable witness_pieces themselves (chip.rs:179-182).
         for col in advices:
             meta.enable_equality(col)
-        meta.enable_equality(witness_pieces)
         x_a, x_p, bits, lambda_1, lambda_2 = advices
         q_s1 = meta.complex_selector()
         q_s2 = meta.fixed_column()
         q_s4 = meta.selector()
         table_idx, table_x, table_y = lookup_columns
 
+        # DoubleAndAdd helpers — query order and AST shapes mirror
+        # ecc/chip/mul/incomplete.rs:30-56 exactly (vk Debug parity).
         def x_r(cells, rot):
-            l1 = cells.query_advice(lambda_1, rot)
             xa = cells.query_advice(x_a, rot)
             xp = cells.query_advice(x_p, rot)
+            l1 = cells.query_advice(lambda_1, rot)
             return l1 * l1 - xa - xp
 
         def Y_A(cells, rot):
+            xa = cells.query_advice(x_a, rot)
             l1 = cells.query_advice(lambda_1, rot)
             l2 = cells.query_advice(lambda_2, rot)
-            xa = cells.query_advice(x_a, rot)
             return (l1 + l2) * (xa - x_r(cells, rot))
 
         def q_s3(cells):
@@ -91,22 +97,23 @@ class SinsemillaChip(Chip):
         s0_x, s0_y = sinsemilla_s(0)
 
         def lookup_fn(cells):
+            # generator_table.rs:46-84, with the reference's exact AST:
+            # int multiplications are Scaled nodes (Mul<F>).
             qs1 = cells.query_selector(q_s1)
             s2 = cells.query_fixed(q_s2, Rotation(0))
             qs3 = s2 * (s2 - Constant(1))
             q_run = s2 - qs3
             z_cur = cells.query_advice(bits, Rotation(0))
             z_next = cells.query_advice(bits, Rotation(1))
-            word = z_cur - q_run * z_next * Constant(1 << K)
+            word = z_cur - q_run * z_next * (1 << K)
             xp = cells.query_advice(x_p, Rotation(0))
             l1 = cells.query_advice(lambda_1, Rotation(0))
             xa = cells.query_advice(x_a, Rotation(0))
-            y_p = Y_A(cells, Rotation(0)) * Constant(two_inv) \
-                - l1 * (xa - xp)
+            y_p = Y_A(cells, Rotation(0)) * two_inv - (l1 * (xa - xp))
             not_q_s1 = Constant(1) - qs1
             m = qs1 * word
-            xp_l = qs1 * xp + not_q_s1 * Constant(s0_x)
-            yp_l = qs1 * y_p + not_q_s1 * Constant(s0_y)
+            xp_l = qs1 * xp + not_q_s1 * s0_x
+            yp_l = qs1 * y_p + not_q_s1 * s0_y
             return [(m, table_idx), (xp_l, table_x), (yp_l, table_y)]
 
         meta.lookup("generator table", lookup_fn)
@@ -149,6 +156,7 @@ class SinsemillaChip(Chip):
             lambda_1=lambda_1, lambda_2=lambda_2,
             witness_pieces=witness_pieces, table_idx=table_idx,
             table_x=table_x, table_y=table_y, field=field,
+            lookup_config=range_check,
             allow_init_from_private_point=allow_init_from_private_point)
 
     def load_table(self, layouter) -> None:
@@ -291,13 +299,20 @@ class SinsemillaChip(Chip):
             # support enabled, the public path also writes y_Q into the
             # x_p/prev slot the gate queries (one extra row)
             if cfg.allow_init_from_private_point:
-                region.assign_advice("y_q (public)", cfg.x_p, 0,
-                                     lambda: Value.known(y_q))
+                # y_Q rides in x_p@0 as a CONSTANT; fixed_y_q is unused
+                # in this mode (hash_to_point.rs:136-147)
+                region.enable_selector("q_s4", cfg.q_sinsemilla4, 1)
+                region.assign_advice_from_constant("y_q (public)",
+                                                   cfg.x_p, 0, y_q)
                 offset = 1
-            region.enable_selector("q_s4", cfg.q_sinsemilla4, offset)
-            region.assign_fixed("fixed y_q", cfg.fixed_y_q, offset,
-                                lambda: Value.known(y_q))
-            region.assign_advice_from_constant("x_q", cfg.x_a, offset, x_q)
+                region.assign_advice_from_constant("x_q", cfg.x_a, offset,
+                                                   x_q)
+            else:
+                region.enable_selector("q_s4", cfg.q_sinsemilla4, offset)
+                region.assign_fixed("fixed y_q", cfg.fixed_y_q, offset,
+                                    lambda: Value.known(y_q))
+                region.assign_advice_from_constant("x_q", cfg.x_a, offset,
+                                                   x_q)
 
             x_a_val = Value.known(x_q)
             y_a_val = Value.known(y_q)

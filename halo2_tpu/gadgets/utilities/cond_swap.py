@@ -36,8 +36,9 @@ class CondSwapChip(Chip):
     def configure(meta, field, advices) -> CondSwapConfig:
         """advices: 5 advice columns."""
         a, b, a_swapped, b_swapped, swap = advices
+        # Only column a is equality-enabled by this chip
+        # (cond_swap.rs:246-247).
         meta.enable_equality(a)
-        meta.enable_equality(b)
         q_swap = meta.selector()
 
         def gate(cells):

@@ -38,6 +38,7 @@ class SinsemillaCircuit(Circuit):
     def configure(cls, meta):
         advices = [meta.advice_column() for _ in range(5)]
         witness_pieces = meta.advice_column()
+        meta.enable_equality(witness_pieces)
         fixed_y_q = meta.fixed_column()
         constants = meta.fixed_column()
         meta.enable_constant(constants)
@@ -99,6 +100,7 @@ class PrivateInitCircuit(Circuit):
         from halo2_tpu.gadgets.ecc import EccChip
         advices = [meta.advice_column() for _ in range(5)]
         witness_pieces = meta.advice_column()
+        meta.enable_equality(witness_pieces)
         fixed_y_q = meta.fixed_column()
         constants = meta.fixed_column()
         meta.enable_constant(constants)
