@@ -160,18 +160,34 @@ class SinsemillaChip(Chip):
             allow_init_from_private_point=allow_init_from_private_point)
 
     def load_table(self, layouter) -> None:
-        """(idx, x, y) of S[0..2^K) (generator_table.rs load)."""
+        """(idx, x, y) of S[0..2^K) (generator_table.rs load).  With a
+        4_5B range-check config, the tag column is loaded too and the
+        S[index] rows are duplicated for the tag-4 and tag-5 blocks
+        (lookup_range_check.rs:687-780)."""
         cfg = self._config
+        from ..utilities.lookup_range_check import LookupRangeCheck45BConfig
+        tagged = isinstance(cfg.lookup_config, LookupRangeCheck45BConfig)
 
         def table_fn(table):
+            def row(r, i, x, y, tag):
+                table.assign_cell("idx", cfg.table_idx, r,
+                                  lambda i=i: Value.known(i))
+                table.assign_cell("x", cfg.table_x, r,
+                                  lambda x=x: Value.known(x))
+                table.assign_cell("y", cfg.table_y, r,
+                                  lambda y=y: Value.known(y))
+                if tagged:
+                    table.assign_cell(
+                        "tag", cfg.lookup_config.table_range_check_tag, r,
+                        lambda t=tag: Value.known(t))
+
             for i in range(1 << K):
                 x, y = sinsemilla_s(i)
-                table.assign_cell("idx", cfg.table_idx, i,
-                                  lambda i=i: Value.known(i))
-                table.assign_cell("x", cfg.table_x, i,
-                                  lambda x=x: Value.known(x))
-                table.assign_cell("y", cfg.table_y, i,
-                                  lambda y=y: Value.known(y))
+                row(i, i, x, y, 0)
+                if tagged and i < (1 << 4):
+                    row(i + (1 << K), i, x, y, 4)
+                if tagged and i < (1 << 5):
+                    row(i + (1 << K) + (1 << 4), i, x, y, 5)
 
         layouter.assign_table("generator_table", table_fn)
 

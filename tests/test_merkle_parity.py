@@ -31,6 +31,9 @@ TEST_DOMAIN = CommitDomain("MerkleCRH")
 
 
 class MerkleCircuit(Circuit):
+    lookup_cls = LookupRangeCheckConfig
+    allow_private_init = False
+
     def __init__(self, leaf=None, leaf_pos=None, path=None):
         self.leaf = leaf
         self.leaf_pos = leaf_pos
@@ -38,7 +41,7 @@ class MerkleCircuit(Circuit):
 
     def without_witnesses(self):
         # Value::default() == known(0) for the reference's #[derive(Default)]
-        return MerkleCircuit(0, 0, [0] * MERKLE_DEPTH)
+        return type(self)(0, 0, [0] * MERKLE_DEPTH)
 
     @classmethod
     def configure(cls, meta):
@@ -49,15 +52,17 @@ class MerkleCircuit(Circuit):
         fixed_y_q_2 = meta.fixed_column()
         lookup = (meta.lookup_table_column(), meta.lookup_table_column(),
                   meta.lookup_table_column())
-        range_check = LookupRangeCheckConfig.configure(
+        range_check = cls.lookup_cls.configure(
             meta, FP, advices[9], lookup[0])
         sin1 = SinsemillaChip.configure(
             meta, advices[5:10], advices[7], fixed_y_q_1, lookup, FP,
-            range_check)
+            range_check,
+            allow_init_from_private_point=cls.allow_private_init)
         config1 = MerkleChip.configure(meta, sin1)
         sin2 = SinsemillaChip.configure(
             meta, advices[0:5], advices[2], fixed_y_q_2, lookup, FP,
-            range_check)
+            range_check,
+            allow_init_from_private_point=cls.allow_private_init)
         config2 = MerkleChip.configure(meta, sin2)
         return (config1, config2)
 
@@ -102,14 +107,29 @@ def test_merkle_root_matches_host():
     prover.assert_satisfied()
 
 
-def test_merkle_vk_and_proof_parity():
-    params = Params.new(VESTA, 11, use_cache=False)
-    circuit = MerkleCircuit()
-    vk = keygen_vk(params, circuit.without_witnesses())
-    expected = open(os.path.join(GOLDEN, "vk_merkle_chip.rdata")).read()
+class MerklePrivateInit45BCircuit(MerkleCircuit):
+    """MyMerkleCircuitWithHashFromPrivatePoint (merkle.rs:450-575):
+    same flow, but the chips allow private-init hashing and use the
+    4_5B range check (tagged generator table)."""
+    from halo2_tpu.gadgets.utilities.lookup_range_check import \
+        LookupRangeCheck45BConfig as lookup_cls
+    allow_private_init = True
+
+
+@pytest.fixture(scope="module")
+def params():
+    return Params.new(VESTA, 11, use_cache=False)
+
+
+@pytest.mark.parametrize("circuit_cls,name", [
+    (MerkleCircuit, "merkle_chip"),
+    (MerklePrivateInit45BCircuit, "merkle_with_private_init_chip_4_5b"),
+])
+def test_merkle_vk_and_proof_parity(params, circuit_cls, name):
+    vk = keygen_vk(params, circuit_cls().without_witnesses())
+    expected = open(os.path.join(GOLDEN, f"vk_{name}.rdata")).read()
     assert vk.pinned_text() + "\n" == expected
 
-    proof = open(os.path.join(GOLDEN, "proof_merkle_chip.bin"),
-                 "rb").read()
+    proof = open(os.path.join(GOLDEN, f"proof_{name}.bin"), "rb").read()
     tr = TranscriptRead(VESTA, proof)
     verify_proof(params, vk, SingleVerifier(params), [[]], tr)
