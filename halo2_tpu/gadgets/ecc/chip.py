@@ -81,9 +81,10 @@ class EccChip(Chip):
             q = cells.query_selector(q_point)
             x = cells.query_advice(x_col, Rotation(0))
             y = cells.query_advice(y_col, Rotation(0))
-            eqn = curve_eqn(x, y)
-            # identity (0,0) or on-curve
-            return [("x", q * (eqn * x)), ("y", q * (eqn * y))]
+            # identity (0,0) or on-curve; NOTE the reference's shape is
+            # (q * x) * curve_eqn — no parentheses (witness_point.rs:66-75)
+            return [("x == 0 v on_curve", q * x * curve_eqn(x, y)),
+                    ("y == 0 v on_curve", q * y * curve_eqn(x, y))]
 
         meta.create_gate("witness point", witness_point)
 
@@ -144,7 +145,9 @@ class EccChip(Chip):
             if_delta = yq_p_yp * delta
 
             poly1 = xq_m_xp * (xq_m_xp * lam - (yq - yp))
-            poly2 = (one - if_alpha) * (2 * yp * lam - 3 * (xp * xp))
+            # Constant-expression products (not Scaled), per add.rs:117-125
+            poly2 = (one - if_alpha) * (Constant(2) * yp * lam
+                                        - Constant(3) * (xp * xp))
             nonexc_xr = lam * lam - xp - xq - xr
             nonexc_yr = lam * xp_m_xr - yp - yr
             poly3a = xp * xq * xq_m_xp * nonexc_xr
