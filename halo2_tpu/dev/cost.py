@@ -33,9 +33,33 @@ class CircuitCost:
 
     @classmethod
     def measure(cls, k: int, circuit) -> "CircuitCost":
+        """Configure AND synthesize (empty witness), then compress
+        selectors — the proof size depends on the POST-compression
+        constraint system (packed selectors share fixed columns, so the
+        verifier reads fewer fixed evals than one-per-selector).  The
+        reference's CircuitCost::measure also runs full synthesis
+        (dev/cost.rs Layout assignment)."""
         cs = ConstraintSystem()
-        type(circuit).configure(cs)
-        return cls(k, cs)
+        config = type(circuit).configure(cs)
+        try:
+            from ..plonk.keygen import Assembly, _synthesize
+            from ..plonk.compress_selectors import compress_selectors
+            from ..fields.host import FP
+
+            class _P:
+                n = 1 << k
+                pass
+            _P.k = k
+            asm = Assembly(cs, _P, FP)
+            _synthesize(circuit.without_witnesses(), config, asm,
+                        cs.constants)
+            cs, _polys = compress_selectors(cs, asm.selectors)
+            compressed = True
+        except Exception:
+            compressed = False  # fall back to the configure-only view
+        out = cls(k, cs)
+        out._compressed = compressed
+        return out
 
     def proof_size_exact(self, instance_count: int = 1) -> ProofSize:
         """Byte-exact proof size: symbolically replay the verifier's read
@@ -60,9 +84,12 @@ class CircuitCost:
         points += 1                                      # vanishing random
         points += quotient_degree                        # h pieces
         # evals
-        # selector materialization appends one fixed column + query per
-        # selector at keygen (compress_selectors.py)
-        num_fixed_queries = len(cs.fixed_queries) + cs.num_selectors
+        # After selector compression (measure() runs it), the packed
+        # selector columns' queries are already in cs.fixed_queries; the
+        # configure-only fallback approximates one column per selector.
+        extra_selector_queries = (0 if getattr(self, "_compressed", False)
+                                  else cs.num_selectors)
+        num_fixed_queries = len(cs.fixed_queries) + extra_selector_queries
         scalars += instance_count * len(cs.instance_queries)
         scalars += instance_count * len(cs.advice_queries)
         scalars += num_fixed_queries
@@ -98,7 +125,7 @@ class CircuitCost:
                 add(("lkprod", pf, li), ("rot", 1))
         for qi, (column, at) in enumerate(cs.fixed_queries):
             add(("fix", column.index), ("rot", at.value))
-        for si in range(cs.num_selectors):
+        for si in range(extra_selector_queries):
             add(("selfix", si), ("rot", 0))
         for ci in range(len(cs.permutation.columns)):
             add(("sigma", ci), ("rot", 0))

@@ -91,6 +91,16 @@ def make_circuit(rng):
     return MerkleCircuit(leaf, pos, path)
 
 
+def test_proof_sizes_match_reference_golden():
+    """Byte-exact proof-size model vs the stored artifact sizes
+    (BASELINE.md golden sizes; host-only)."""
+    from halo2_tpu.dev.cost import CircuitCost
+    for circ, expect in ((MerkleCircuit(), 4160),
+                         (MerklePrivateInit45BCircuit(), 4160)):
+        got = CircuitCost.measure(11, circ).proof_size_exact(1).total
+        assert got == expect, (type(circ).__name__, got, expect)
+
+
 def test_merkle_root_matches_host():
     """In-circuit root equals the host MerkleCRH fold (merkle.rs:344-390)."""
     from halo2_tpu.gadgets.sinsemilla.merkle import merkle_crh_host
