@@ -25,3 +25,23 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache", "cpu"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+# The K=11 gadget-parity tests each compile large per-shape executables;
+# keeping every executable alive for a whole single-process `pytest
+# tests/` run grows to >100 GB RSS (the CPU backend was OOM-killed at
+# 119 GB).  Clearing jax's in-memory caches between tests caps the
+# footprint; the persistent on-disk cache makes recompiles cheap.
+import pytest  # noqa: E402
+
+_HEAVY_PREFIXES = ("test_gadget_vk_parity", "test_merkle_parity",
+                   "test_plonk_api_parity", "test_golden",
+                   "test_sinsemilla", "test_sha256")
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_heavy_tests(request):
+    yield
+    module = request.node.module.__name__ if request.node.module else ""
+    if any(module.startswith(p) for p in _HEAVY_PREFIXES):
+        jax.clear_caches()
