@@ -1,2 +1,2 @@
-from .chip import EccChip, EccConfig, EccPoint
+from .chip import EccChip, EccConfig, EccPoint, FixedPointBase
 from .gadget import Point, NonIdentityPoint

@@ -84,7 +84,28 @@ def find_zs_and_us(curve: CurveSpec, base: Point, num_windows: int
 
 @functools.lru_cache(maxsize=None)
 def fixed_base_constants(base: Point, num_windows: int = NUM_WINDOWS):
-    """Memoized (lagrange_coeffs, zs_and_us) for a Pallas fixed base."""
+    """Memoized (lagrange_coeffs, zs_and_us) for a Pallas fixed base.
+    The z/u search is minutes of host work, so results are cached on
+    disk under .fixed_base_cache/ keyed by (base, num_windows)."""
+    import hashlib
+    import json
+    import os
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                             "..", ".fixed_base_cache")
+    key = hashlib.sha256(
+        f"{base[0]:x}:{base[1]:x}:{num_windows}".encode()).hexdigest()[:24]
+    path = os.path.join(cache_dir, key + ".json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+        return ([[int(c) for c in w] for w in data["lag"]],
+                [(int(z), [int(u) for u in us])
+                 for z, us in data["zs_us"]])
     lag = compute_lagrange_coeffs(PALLAS, base, num_windows)
     zs_us = find_zs_and_us(PALLAS, base, num_windows)
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump({"lag": [[str(c) for c in w] for w in lag],
+                   "zs_us": [[str(z), [str(u) for u in us]]
+                             for z, us in zs_us]}, fh)
     return lag, zs_us

@@ -27,10 +27,11 @@ class Point:
         return Point(self.chip,
                      self.chip.add(layouter, self.inner, other.inner))
 
-    def mul(self, layouter, scalar: Value, num_bits: int = 255) -> "Point":
-        return Point(self.chip,
-                     self.chip.mul(layouter, scalar, self.inner,
-                                   num_bits=num_bits))
+    def mul(self, layouter, scalar_cell) -> "Point":
+        """Variable-base mul by a witnessed base-field element cell
+        (ScalarVar::BaseFieldElem semantics, ecc.rs:214-221)."""
+        result, _zs = self.chip.mul(layouter, scalar_cell, self.inner)
+        return Point(self.chip, result)
 
     def constrain_equal(self, layouter, other) -> None:
         def region_fn(region):

@@ -1,5 +1,7 @@
-"""ECC chip: witness/add/mul constraints against host curve arithmetic
-(halo2_gadgets/src/ecc/chip tests analogue)."""
+"""ECC chip: witness/add constraints against host curve arithmetic
+(halo2_gadgets/src/ecc/chip tests analogue).  Variable-base and
+fixed-base mul are exercised end-to-end by the K=11 golden-parity
+mirror (tests/test_ecc_parity.py)."""
 import random
 
 import pytest
@@ -9,6 +11,8 @@ from halo2_tpu.curves import PALLAS
 from halo2_tpu.circuit import Circuit, Value
 from halo2_tpu.dev import MockProver
 from halo2_tpu.gadgets.ecc import EccChip
+from halo2_tpu.gadgets.utilities.lookup_range_check import (
+    LookupRangeCheckConfig)
 
 RNG = random.Random(31337)
 K = 8
@@ -19,23 +23,27 @@ def rand_point():
 
 
 class EccCircuit(Circuit):
-    """Witness P, Q; check P+Q (complete/incomplete) and small scalar
-    mul against precomputed expectations via constrained equality."""
+    """Witness P, Q; check P+Q (complete/incomplete) via constrained
+    equality with the instance."""
 
-    def __init__(self, p=None, q=None, scalar=None, mode="add"):
-        self.p, self.q, self.scalar, self.mode = p, q, scalar, mode
+    def __init__(self, p=None, q=None, mode="add"):
+        self.p, self.q, self.mode = p, q, mode
 
     def without_witnesses(self):
-        return EccCircuit(mode=self.mode, scalar=None)
+        return EccCircuit(mode=self.mode)
 
     @classmethod
     def configure(cls, meta):
         advices = [meta.advice_column() for _ in range(10)]
+        lookup_table = meta.lookup_table_column()
+        lagrange = [meta.fixed_column() for _ in range(8)]
         constants = meta.fixed_column()
         meta.enable_constant(constants)
         instance = meta.instance_column()
         meta.enable_equality(instance)
-        cfg = EccChip.configure(meta, advices, FP)
+        range_check = LookupRangeCheckConfig.configure(
+            meta, FP, advices[9], lookup_table)
+        cfg = EccChip.configure(meta, advices, lagrange, range_check, FP)
         return {"ecc": cfg, "instance": instance}
 
     def synthesize(self, config, layouter):
@@ -48,14 +56,9 @@ class EccCircuit(Circuit):
         if self.mode == "add":
             q = chip.witness_point(layouter, pt(self.q))
             r = chip.add(layouter, p, q)
-        elif self.mode == "add_incomplete":
+        else:  # add_incomplete
             q = chip.witness_point_non_id(layouter, Value.known(self.q))
             r = chip.add_incomplete(layouter, p, q)
-        else:  # mul
-            r = chip.mul(layouter,
-                         Value.known(self.scalar)
-                         if self.scalar is not None else Value.unknown(),
-                         p, num_bits=8)
         layouter.constrain_instance(r.x.cell, config["instance"], 0)
         layouter.constrain_instance(r.y.cell, config["instance"], 1)
 
@@ -67,49 +70,55 @@ def _expected_instance(r):
 def test_complete_add():
     p, q = rand_point(), rand_point()
     r = PALLAS.add(p, q)
-    MockProver.run(K, EccCircuit(p, q, mode="add"),
-                   [[r[0], r[1]]], fs=FP).assert_satisfied()
+    MockProver.run(K, EccCircuit(p, q, "add"),
+                   _expected_instance(r), fs=FP).assert_satisfied()
 
 
 def test_complete_add_edge_cases():
     p = rand_point()
-    # P + identity
-    MockProver.run(K, EccCircuit(p, None, mode="add"),
-                   [[p[0], p[1]]], fs=FP).assert_satisfied()
-    # P + P (doubling)
-    d = PALLAS.double(p)
-    MockProver.run(K, EccCircuit(p, p, mode="add"),
-                   [[d[0], d[1]]], fs=FP).assert_satisfied()
+    neg_p = PALLAS.neg(p)
     # P + (-P) = identity
-    MockProver.run(K, EccCircuit(p, PALLAS.neg(p), mode="add"),
-                   [[0, 0]], fs=FP).assert_satisfied()
+    MockProver.run(K, EccCircuit(p, neg_p, "add"),
+                   _expected_instance(None), fs=FP).assert_satisfied()
+    # P + identity = P
+    MockProver.run(K, EccCircuit(p, None, "add"),
+                   _expected_instance(p), fs=FP).assert_satisfied()
+    # identity + identity
+    MockProver.run(K, EccCircuit(None, None, "add"),
+                   _expected_instance(None), fs=FP).assert_satisfied()
+    # P + P (doubling)
+    MockProver.run(K, EccCircuit(p, p, "add"),
+                   _expected_instance(PALLAS.double(p)),
+                   fs=FP).assert_satisfied()
 
 
 def test_complete_add_wrong_result_fails():
     p, q = rand_point(), rand_point()
     r = PALLAS.add(p, q)
-    errors = MockProver.run(K, EccCircuit(p, q, mode="add"),
-                            [[r[0], (r[1] + 1) % FP.modulus]],
-                            fs=FP).verify()
-    assert errors
+    bad = (r[0], (r[1] + 1) % FP.modulus)
+    assert MockProver.run(K, EccCircuit(p, q, "add"),
+                          _expected_instance(bad), fs=FP).verify()
 
 
 def test_incomplete_add():
     p, q = rand_point(), rand_point()
     r = PALLAS.add(p, q)
-    MockProver.run(K, EccCircuit(p, q, mode="add_incomplete"),
-                   [[r[0], r[1]]], fs=FP).assert_satisfied()
+    MockProver.run(K, EccCircuit(p, q, "add_incomplete"),
+                   _expected_instance(r), fs=FP).assert_satisfied()
 
 
 def test_witness_point_not_on_curve_fails():
-    errors = MockProver.run(K, EccCircuit((3, 4), None, mode="add"),
-                            [[3, 4]], fs=FP).verify()
+    p = rand_point()
+    bad = (p[0], (p[1] + 1) % FP.modulus)
+    errors = MockProver.run(K, EccCircuit(bad, bad, "add"),
+                            _expected_instance(PALLAS.add(bad, bad)
+                                               if False else (0, 0)),
+                            fs=FP).verify()
     assert errors
 
 
-def test_var_base_mul_small():
-    p = rand_point()
-    s = 173  # 8-bit scalar
-    r = PALLAS.mul(p, s)
-    MockProver.run(K, EccCircuit(p, scalar=s, mode="mul"),
-                   [[r[0], r[1]]], fs=FP).assert_satisfied()
+def test_witness_non_id_rejects_identity():
+    with pytest.raises(Exception):
+        MockProver.run(K, EccCircuit(rand_point(), None,
+                                     "add_incomplete"),
+                       _expected_instance(None), fs=FP)

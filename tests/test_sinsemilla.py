@@ -109,7 +109,12 @@ class PrivateInitCircuit(Circuit):
         instance = meta.instance_column()
         meta.enable_equality(instance)
         ecc_advices = [meta.advice_column() for _ in range(10)]
-        ecc = EccChip.configure(meta, ecc_advices, FP)
+        ecc_lagrange = [meta.fixed_column() for _ in range(8)]
+        from halo2_tpu.gadgets.utilities.lookup_range_check import \
+            LookupRangeCheckConfig as _LRC
+        ecc_range = _LRC.configure(meta, FP, ecc_advices[9], lookup[0])
+        ecc = EccChip.configure(meta, ecc_advices, ecc_lagrange,
+                                ecc_range, FP)
         cfg = SinsemillaChip.configure(
             meta, advices, witness_pieces, fixed_y_q, lookup, FP,
             allow_init_from_private_point=True)
