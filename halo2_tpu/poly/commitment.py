@@ -92,7 +92,14 @@ class Params:
         omega_inv = pow(omega, fs.modulus - 2, fs.modulus)
         minv = pow(n, fs.modulus - 2, fs.modulus)
         from ..ops.msm import HOST_MSM_THRESHOLD
-        if n <= max(HOST_MSM_THRESHOLD, 1):
+        # The host path is exact and takes ~tens of seconds up to
+        # n = 4096; the device group-NTT's XLA graph at these sizes is
+        # compile-bound (tens of minutes cold), so prefer host well past
+        # the MSM threshold.  Env-tunable for experiments.
+        import os as _os
+        host_max = int(_os.environ.get(
+            "HALO2_TPU_HOST_LAGRANGE_THRESHOLD", "4096"))
+        if n <= max(HOST_MSM_THRESHOLD, host_max):
             return Params._host_group_intt(curve, g, omega_inv, minv)
         dev = PALLAS_DEV if curve.name == "pallas" else VESTA_DEV
         plan = make_plan(dev.scalar, n, omega_inv)

@@ -9,6 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Keep CPU-run commitments/MSMs on the exact host path up to K=12-ish
+# sizes: the device MSM/group-NTT graphs at n >= 2048 are compile-bound
+# (tens of minutes cold), which starved the K=11 parity tests.
+os.environ.setdefault("HALO2_TPU_HOST_MSM_THRESHOLD", "4096")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so the
