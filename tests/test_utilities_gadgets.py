@@ -161,8 +161,9 @@ class Tagged45Circuit(Circuit):
         tag = meta.lookup_table_column()
         constants = meta.fixed_column()
         meta.enable_constant(constants)
+        # 4/5-bit tagged checks need k >= 5 (reference uses k = 10)
         return LookupRangeCheck45BConfig.configure_with_tag(
-            meta, FQ, running_sum, table, tag, k=K_TABLE)
+            meta, FQ, running_sum, table, tag, k=5)
 
     def synthesize(self, cfg, layouter):
         cfg.load_table(layouter)
