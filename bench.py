@@ -2,13 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Robustness: the TPU is attached through a tunnel that can be slow or
-wedged, so the measurement runs in a subprocess under a timeout, retrying
-with smaller sizes and finally the CPU backend, so the driver always gets
-a number. The reference (zcash/halo2) publishes no absolute benchmark
-figures (BASELINE.md); vs_baseline compares against a host-python
-Pippenger op-count estimate of the rayon-CPU reference scaled by a
-sampled group-op timing (see _cpu_estimate).
+Measures the Pallas Pippenger MSM (halo2_tpu/ops/msm_pallas.py): the
+device part of `iters` MSMs is dispatched back-to-back (commitments
+within a prover phase pipeline exactly like this before the next
+Fiat-Shamir squeeze), then synced once; the host Horner combine of the
+final window sums is included in the measured wall-clock.
+
+Robustness: the TPU is attached through a tunnel with ~30-60 ms
+round-trip latency that can wedge, so the measurement runs in a
+subprocess under a timeout, retrying with smaller sizes and finally the
+CPU backend, so the driver always gets a number. The reference
+(zcash/halo2) publishes no absolute numbers (BASELINE.md); vs_baseline
+compares against a host-python Pippenger op-count estimate of the
+rayon-CPU reference scaled by a sampled group-op timing.
 
 Env: HALO2_TPU_BENCH_K (default 11), HALO2_TPU_BENCH_TIMEOUT (default
 1200 s per attempt).
@@ -25,9 +31,6 @@ sys.path.insert(0, REPO)
 
 def worker(k: int) -> None:
     """Runs in a subprocess: measure and print the JSON line."""
-    # keep the MSM on the single-fori double-and-add kernel at bench
-    # sizes (the windowed-Pippenger graph is compile-bound this round)
-    os.environ.setdefault("HALO2_TPU_SMALL_MSM_THRESHOLD", str(1 << k))
     import random
     import numpy as np
     import jax
@@ -40,14 +43,15 @@ def worker(k: int) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
-    from halo2_tpu.curves import PALLAS, PALLAS_DEV
-    from halo2_tpu.ops import msm as msm_pkg
-    from halo2_tpu.ops.msm import msm
-    from halo2_tpu.curves.device import JPoint
+    from halo2_tpu.curves import PALLAS
+    from halo2_tpu.fields.device import FP_DEV
+    from halo2_tpu.ops.msm_pallas import (
+        msm_pallas_window_sums_async, host_horner_combine, points_to_proj,
+        points_from_proj)
 
     n = 1 << k
-    cv = PALLAS_DEV
     spec = PALLAS
+    df = FP_DEV
     rng = random.Random(7)
 
     base_pts = [spec.mul(spec.generator, i + 1) for i in range(256)]
@@ -56,21 +60,28 @@ def worker(k: int) -> None:
     digits = jnp.asarray(np.stack([
         np.array([(s >> (16 * i)) & 0xFFFF for i in range(16)], np.uint32)
         for s in scalars]))
-    jp = cv.points_to_device(pts)
+    proj = jax.device_put(points_to_proj(spec, df, pts))
 
-    fn = jax.jit(lambda d, x, y, z: msm(cv, d, JPoint(x, y, z)))
-    out = fn(digits, jp.x, jp.y, jp.z)
-    _ = np.asarray(out.x)  # full host readback: defeats async queuing
+    # warm-up (compile) + correctness spot check on a small prefix
+    wsums, c = msm_pallas_window_sums_async(spec, df, digits, proj)
+    res = host_horner_combine(spec, points_from_proj(spec, df, wsums), c)
+    assert res is not None
 
-    iters = 3
+    iters = int(os.environ.get("HALO2_TPU_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
+    outs = []
     for _ in range(iters):
-        out = fn(digits, jp.x, jp.y, jp.z)
-        _ = np.asarray(out.x)  # sync via readback (tunnel-safe)
+        wsums, c = msm_pallas_window_sums_async(spec, df, digits, proj)
+        outs.append(wsums)
+    # one sync + host combine per MSM (combines are on the clock)
+    results = [host_horner_combine(spec, points_from_proj(spec, df, w), c)
+               for w in outs]
     dt = (time.perf_counter() - t0) / iters
     points_per_s = n / dt
+    assert all(r == results[0] for r in results)
 
-    # crude rayon-CPU reference estimate (see module docstring)
+    # crude rayon-CPU reference estimate: Pippenger op count at the
+    # reference's window choice, scaled by a sampled python/rust ratio
     sample = 64
     t0 = time.perf_counter()
     acc = None
@@ -95,8 +106,8 @@ def main() -> None:
         return
 
     k = int(os.environ.get("HALO2_TPU_BENCH_K", "11"))
-    timeout = int(os.environ.get("HALO2_TPU_BENCH_TIMEOUT", "900"))
-    attempts = [(k, None), (max(k - 2, 8), None), (9, "cpu")]
+    timeout = int(os.environ.get("HALO2_TPU_BENCH_TIMEOUT", "1200"))
+    attempts = [(k, None), (k, None), (max(k - 2, 8), None), (9, "cpu")]
     for kk, platform in attempts:
         env = dict(os.environ)
         if platform:

@@ -145,13 +145,63 @@ def msm_small(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
     return tree_sum(cv, prods, axis=0)
 
 
+def _jpoint_to_proj(cv: DeviceCurve, pts: JPoint) -> jnp.ndarray:
+    """JPoint batch [n] (Jacobian, Z=0 identity) -> [48, n] projective
+    (X·Z, Y, Z³): x = X/Z² = XZ/Z³, y = Y/Z³. Z ∈ {0, R} (affine/identity
+    batches, the common case) needs no muls but the general form is kept
+    for arbitrary Jacobian inputs."""
+    from ..fields.device import fmul
+    f = cv.base
+    z2 = fmul(f, pts.z, pts.z)
+    return jnp.concatenate([
+        fmul(f, pts.x, pts.z).T,
+        pts.y.T,
+        fmul(f, z2, pts.z).T,
+    ], axis=0)
+
+
+def _proj_point_to_jpoint(cv: DeviceCurve, pt) -> JPoint:
+    """Affine host point (or None) -> single JPoint."""
+    jp = cv.points_to_device([pt])
+    return JPoint(jp.x[0], jp.y[0], jp.z[0])
+
+
+def msm_pallas_path(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
+                    pts: JPoint, device_combine: bool) -> JPoint:
+    """Pippenger on the Pallas point kernels (ops/msm_pallas.py)."""
+    from . import msm_pallas as mp
+    proj = _jpoint_to_proj(cv, pts)
+    if device_combine:
+        wsums, c = mp.msm_pallas_window_sums(cv.spec, cv.base,
+                                             scalar_digits16, proj)
+        out = mp.device_horner_combine(cv.base, wsums, c)
+        # projective [48] -> Jacobian JPoint: (XZ, YZ², Z) has the same
+        # affine image; cheaper: x_j = X·Z, y_j = Y·Z², z_j = Z.
+        from ..fields.device import fmul
+        f = cv.base
+        X, Y, Z = out[:16], out[16:32], out[32:48]
+        z2 = fmul(f, Z, Z)
+        return JPoint(fmul(f, X, Z), fmul(f, Y, z2), Z)
+    res = mp.msm_pallas(cv.spec, cv.base, scalar_digits16, proj)
+    return _proj_point_to_jpoint(cv, res)
+
+
+# Use the Pallas Pippenger for device MSMs above this size (set to a huge
+# value to fall back to the round-1 scan/ladder paths).
+PALLAS_MSM_THRESHOLD = int(_os.environ.get(
+    "HALO2_TPU_PALLAS_MSM_THRESHOLD", "512"))
+
+
 def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
     """MSM: scalars as canonical (non-Montgomery) 16-bit digit arrays
     [n, 16], points as a JPoint batch [n]. Returns a single JPoint."""
-    if (scalar_digits16.shape[0] <= HOST_MSM_THRESHOLD
-            and _is_concrete(scalar_digits16, pts.x, pts.y, pts.z)):
+    concrete = _is_concrete(scalar_digits16, pts.x, pts.y, pts.z)
+    if scalar_digits16.shape[0] <= HOST_MSM_THRESHOLD and concrete:
         return _msm_host(cv, scalar_digits16, pts)
     scalar_digits16, pts = _pad_pow2(cv, scalar_digits16, pts)
+    if scalar_digits16.shape[0] > PALLAS_MSM_THRESHOLD:
+        return msm_pallas_path(cv, scalar_digits16, pts,
+                               device_combine=not concrete)
     if scalar_digits16.shape[0] <= SMALL_MSM_THRESHOLD:
         return msm_small(cv, scalar_digits16, pts)
     windows = scalar_window_digits(scalar_digits16)  # [32, n] LSB first

@@ -1,0 +1,280 @@
+"""Pippenger MSM on Pallas point kernels — the TPU hot path.
+
+Replaces the reference's thread-parallel bucket MSM (`best_multiexp`,
+halo2_proofs/src/arithmetic.rs:143-180) with a formulation built from
+three fixed-shape Pallas kernels (ops/pallas_point.py) orchestrated by
+XLA gathers — no scalar loops, no data-dependent shapes:
+
+  1. window digit extraction  [W, n]           (u32 bit ops)
+  2. argsort per window + bucket run starts    (XLA sort / searchsorted)
+  3. bucket accumulation: `lax.while_loop` over rounds r — round r adds
+     the r-th member of every (window, bucket) run at once via one
+     [48, W·B] gather + one masked-add kernel call.  Exactly one point
+     add per (point, window) of useful work; rounds = max run length
+     (≈ n/B for uniform scalars, degenerate inputs stay correct, just
+     slower).
+  4. summation by parts (`Buckets::sum`, arithmetic.rs:74-93): Hillis-
+     Steele suffix sums over the bucket axis (log2 B masked-add rounds),
+     then a halving tree sum -> one point per window.
+  5. window Horner combine: on host (W tiny serial group ops), or on
+     device via a lax.scan of doubling kernels for jit-pure callers.
+
+The group law is exact, so any schedule is bit-identical to the
+reference's result (oracle: test_multiexp, arithmetic.rs:440-458).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.device import DeviceField, NLIMBS
+from ..curves.host import CurveSpec
+from .pallas_point import (
+    LANES, padd_flat, pdouble_flat, padd_masked_flat,
+    _ident_col_j, points_to_proj, points_from_proj,
+)
+
+
+def pick_c(n: int) -> int:
+    """Window size by explicit cost model of the round-loop schedule.
+
+    The bucket-accumulation loop runs `max run length` rounds of one
+    [48, W·B]-lane masked add, so its cost is maxrun·W·B. For uniform
+    digits maxrun ≈ n/B plus multinomial slack, BUT the top window only
+    spans `255 − c·(W−1)` bits (scalars < 2^255), so its runs are
+    n/2^topbits — window sizes that leave a tiny top window (e.g. c=11:
+    2 bits) are catastrophically skewed. The model also charges the
+    2·log2(B) suffix/tree rounds. Minimizing it lands on c=4/8 (256 ≡ 0
+    mod c keeps the top window full-width) at practical sizes."""
+    best_c, best_cost = 4, float("inf")
+    for c in range(4, 17):
+        W = -(-256 // c)
+        B = 1 << c
+        topbits = max(255 - c * (W - 1), 1)
+        per_bucket = n / B
+        maxrun = max(per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0,
+                     n / (1 << topbits) + 4.0)
+        cost = (maxrun + 2 * c) * W * B
+        if cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
+
+
+def window_digits(digits16: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Canonical 16-bit digit array [n, 16] -> [W, n] c-bit window digits
+    (LSB window first)."""
+    n = digits16.shape[0]
+    W = -(-256 // c)
+    ext = jnp.concatenate(
+        [digits16.astype(jnp.uint32),
+         jnp.zeros((n, 1), jnp.uint32)], axis=1)  # [n, 17]
+    outs = []
+    mask = jnp.uint32((1 << c) - 1)
+    for w in range(W):
+        bit = c * w
+        li, off = bit // 16, bit % 16
+        val = ext[:, li] >> off
+        if off + c > 16:
+            val = val | (ext[:, li + 1] << (16 - off))
+        outs.append(val & mask)
+    return jnp.stack(outs, axis=0)
+
+
+def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
+                           digits16: jnp.ndarray, pts: jnp.ndarray,
+                           c: int | None = None,
+                           interpret: bool | None = None):
+    """Device part of the MSM: returns ([48, W] window sums, c).
+
+    pts: [48, n] projective batch; digits16: [n, 16] canonical scalars.
+    """
+    n = digits16.shape[0]
+    if c is None:
+        c = pick_c(n)
+    B = 1 << c
+    W = -(-256 // c)
+
+    d = window_digits(digits16, c)                       # [W, n]
+    order = jnp.argsort(d, axis=1).astype(jnp.int32)     # [W, n]
+    ds = jnp.take_along_axis(d, order, axis=1)           # sorted digits
+
+    buckets = jnp.arange(B, dtype=jnp.uint32)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, buckets, side="left"))(ds)
+    ends = jax.vmap(
+        lambda row: jnp.searchsorted(row, buckets, side="right"))(ds)
+    counts = (ends - starts).astype(jnp.int32)           # [W, B]
+    # never loop for bucket-0 runs (digit 0 contributes nothing)
+    eff_counts = counts.at[:, 0].set(0)
+    maxc = jnp.max(eff_counts)
+
+    ident_col = _ident_col_j(df.spec.modulus)
+    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, W * B))
+
+    starts_i = starts.astype(jnp.int32)
+
+    def cond(state):
+        r, _ = state
+        return r < maxc
+
+    def body(state):
+        r, acc = state
+        idx = jnp.minimum(starts_i + r, n - 1)           # [W, B]
+        valid = (r < eff_counts).reshape(-1)             # [W*B]
+        gidx = jnp.take_along_axis(order, idx, axis=1)   # [W, B]
+        P = jnp.take(pts, gidx.reshape(-1), axis=1)      # [48, W*B]
+        acc = padd_masked_flat(df, acc, P,
+                               valid.astype(jnp.uint32),
+                               interpret=interpret)
+        return r + 1, acc
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+
+    # summation by parts: suffix sums along the bucket axis, then the
+    # per-window total of the suffix series equals sum_b b * S_b.
+    # Both phases are fori_loops over log2(B) rounds of one fixed-shape
+    # masked-add each (rolled lanes beyond the window edge are masked off)
+    # to keep the traced graph small.
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    def suffix_round(i, suf):
+        s = jnp.int32(1) << i
+        suf3 = suf.reshape(3 * NLIMBS, W, B)
+        shifted = jnp.roll(suf3, -s, axis=2).reshape(3 * NLIMBS, -1)
+        mask = jnp.broadcast_to((bidx + s < B)[None, :], (W, B))
+        return padd_masked_flat(df, suf, shifted,
+                                mask.reshape(-1).astype(jnp.uint32),
+                                interpret=interpret)
+
+    logb = int(math.log2(B))
+    suf = jax.lax.fori_loop(0, logb, suffix_round, acc)
+
+    # drop bucket 0 (its suffix is the full per-window total, not b·S_b)
+    suf3 = suf.reshape(3 * NLIMBS, W, B)
+    ident_w = jnp.broadcast_to(ident_col[:, None, None],
+                               (3 * NLIMBS, W, 1))
+    suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
+        3 * NLIMBS, -1)
+
+    # tree sum over the bucket axis -> [48, W] (kept at full width with a
+    # shrinking mask so one traced body serves every level)
+    def tree_round(i, cur):
+        half = jnp.int32(B) >> (i + 1)
+        cur3 = cur.reshape(3 * NLIMBS, W, B)
+        shifted = jnp.roll(cur3, -half, axis=2).reshape(3 * NLIMBS, -1)
+        mask = jnp.broadcast_to((bidx < half)[None, :], (W, B))
+        return padd_masked_flat(df, cur, shifted,
+                                mask.reshape(-1).astype(jnp.uint32),
+                                interpret=interpret)
+
+    cur = jax.lax.fori_loop(0, logb, tree_round, suf)
+    return cur.reshape(3 * NLIMBS, W, B)[:, :, 0], c
+
+
+def _host_proj_add(p, a, b):
+    """RCB complete add on host int 3-tuples (X, Y, Z); a=0, b3 = 15."""
+    X1, Y1, Z1 = a
+    X2, Y2, Z2 = b
+    t0 = X1 * X2 % p
+    t1 = Y1 * Y2 % p
+    t2 = Z1 * Z2 % p
+    t3 = ((X1 + Y1) * (X2 + Y2) - t0 - t1) % p   # X1Y2 + X2Y1
+    t4 = ((Y1 + Z1) * (Y2 + Z2) - t1 - t2) % p   # Y1Z2 + Y2Z1
+    xz = ((X1 + Z1) * (X2 + Z2) - t0 - t2) % p   # X1Z2 + X2Z1
+    s0 = 3 * t0 % p                               # 3 X1X2
+    b3z = 15 * t2 % p
+    z3 = (t1 + b3z) % p
+    s1 = (t1 - b3z) % p
+    y3 = 15 * xz % p
+    X3 = (t3 * s1 - t4 * y3) % p
+    Y3 = (y3 * s0 + s1 * z3) % p
+    Z3 = (z3 * t4 + s0 * t3) % p
+    return (X3, Y3, Z3)
+
+
+def _host_proj_double(p, a):
+    X, Y, Z = a
+    t0 = Y * Y % p
+    z3 = 8 * t0 % p
+    t1 = Y * Z % p
+    t2 = 15 * (Z * Z % p) % p
+    X3 = t2 * z3 % p
+    Y3 = t0 + t2
+    Z3 = t1 * z3 % p
+    t1 = 2 * t2
+    t2 = (t1 + t2) % p
+    t0 = (t0 - t2) % p
+    Y3 = (t0 * Y3 + X3) % p
+    t1 = X * Y % p
+    X3 = 2 * t0 * t1 % p
+    return (X3, Y3, Z3)
+
+
+def host_horner_combine(spec: CurveSpec, window_pts: list, c: int):
+    """Host Horner over MSB-first window sums: tiny serial group work.
+    window_pts: list of affine host points (LSB window first)."""
+    p = spec.base.modulus
+    acc = (0, 1, 0)
+    for pt in reversed(window_pts):
+        for _ in range(c):
+            acc = _host_proj_double(p, acc)
+        if pt is not None:
+            acc = _host_proj_add(p, acc, (pt[0], pt[1], 1))
+    X, Y, Z = acc
+    if Z == 0:
+        return None
+    zi = pow(Z, -1, p)
+    return (X * zi % p, Y * zi % p)
+
+
+def device_horner_combine(df: DeviceField, wsums: jnp.ndarray, c: int,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """jit-pure window combine: lax.scan over windows MSB->LSB, each
+    step c doubling kernels + one add (width-1 batches — used by the
+    sharded pipeline / dryrun; host combine is faster interactively)."""
+    W = wsums.shape[1]
+    ident = _ident_col_j(df.spec.modulus)[:, None]
+
+    def step(acc, wcol):
+        for _ in range(c):
+            acc = pdouble_flat(df, acc, interpret=interpret)
+        acc = padd_flat(df, acc, wcol[:, None], interpret=interpret)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, jnp.broadcast_to(ident, ident.shape),
+                          jnp.flip(wsums, axis=1).T)
+    return acc[:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _window_sums_jit(cv_spec, df, digits16, pts, c, interpret):
+    wsums, _ = msm_pallas_window_sums(cv_spec, df, digits16, pts, c,
+                                      interpret=interpret)
+    return wsums
+
+
+def msm_pallas_window_sums_async(cv_spec: CurveSpec, df: DeviceField,
+                                 digits16, pts, c: int | None = None,
+                                 interpret: bool | None = None):
+    """Jitted device part; returns (device [48, W] array, c) without
+    blocking — callers can pipeline several MSMs before reading back."""
+    n = digits16.shape[0]
+    if c is None:
+        c = pick_c(n)
+    if interpret is None:
+        from .pallas_point import _interpret_default
+        interpret = _interpret_default()
+    return _window_sums_jit(cv_spec, df, digits16, pts, c, interpret), c
+
+
+def msm_pallas(cv_spec: CurveSpec, df: DeviceField, digits16, pts,
+               c: int | None = None, interpret: bool | None = None):
+    """Full MSM -> affine host point (device buckets + host combine)."""
+    wsums, c = msm_pallas_window_sums_async(cv_spec, df, digits16, pts, c,
+                                            interpret=interpret)
+    window_pts = points_from_proj(cv_spec, df, wsums)
+    return host_horner_combine(cv_spec, window_pts, c)
