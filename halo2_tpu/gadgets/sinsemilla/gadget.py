@@ -37,23 +37,26 @@ class CommitDomainGadget:
     sinsemilla_chip: SinsemillaChip
     ecc_chip: EccChip
     M: HashDomainGadget
-    R: tuple  # fixed blinding base (host point)
+    R: object  # fixed blinding base (FixedPointBase)
 
     @classmethod
     def new(cls, sinsemilla_chip: SinsemillaChip, ecc_chip: EccChip,
             domain_name: str):
+        from ..ecc.chip import FixedPointBase
+        from ..ecc.constants import NUM_WINDOWS
         cd = primitive.CommitDomain(domain_name)
         return cls(sinsemilla_chip=sinsemilla_chip, ecc_chip=ecc_chip,
                    M=HashDomainGadget(chip=sinsemilla_chip, domain=cd.M),
-                   R=cd.R)
+                   R=FixedPointBase(cd.R, NUM_WINDOWS))
 
-    def commit(self, layouter, pieces: list[MessagePiece], r: Value,
-               num_bits: int = 255) -> EccPoint:
-        blind = self.ecc_chip.mul_fixed(layouter, r, self.R,
-                                        num_bits=num_bits)
+    def commit(self, layouter, pieces: list[MessagePiece], r: Value
+               ) -> EccPoint:
+        """sinsemilla.rs:488-505: blind = [r]R first, then hash, then
+        complete add (region order is vk-relevant)."""
+        blind = self.ecc_chip.mul_fixed(layouter, r, self.R)
         hashed, _zs = self.M.hash_to_point(layouter, pieces)
         return self.ecc_chip.add(layouter, hashed, blind)
 
-    def short_commit(self, layouter, pieces: list[MessagePiece], r: Value,
-                     num_bits: int = 255):
-        return self.commit(layouter, pieces, r, num_bits=num_bits).x
+    def short_commit(self, layouter, pieces: list[MessagePiece],
+                     r: Value):
+        return self.commit(layouter, pieces, r).x

@@ -21,7 +21,7 @@ from halo2_tpu.gadgets.ecc import EccChip, FixedPointBase
 from halo2_tpu.gadgets.ecc.constants import (NUM_WINDOWS,
                                              NUM_WINDOWS_SHORT)
 from halo2_tpu.gadgets.utilities.lookup_range_check import (
-    LookupRangeCheckConfig)
+    LookupRangeCheckConfig, LookupRangeCheck45BConfig)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -52,11 +52,13 @@ class EccMirrorCircuit(Circuit):
     errors during the measurement pass, so those two regions are never
     placed and consume no rows."""
 
+    LOOKUP_CONFIG = LookupRangeCheckConfig
+
     def __init__(self, witness=False):
         self.witness = witness
 
     def without_witnesses(self):
-        return EccMirrorCircuit(False)
+        return type(self)(False)
 
     @classmethod
     def configure(cls, meta):
@@ -65,7 +67,7 @@ class EccMirrorCircuit(Circuit):
         lagrange = [meta.fixed_column() for _ in range(8)]
         constants = meta.fixed_column()
         meta.enable_constant(constants)
-        range_check = LookupRangeCheckConfig.configure(
+        range_check = cls.LOOKUP_CONFIG.configure(
             meta, FP, advices[9], lookup_table)
         return EccChip.configure(meta, advices, lagrange, range_check,
                                  FP)
@@ -201,6 +203,16 @@ class EccMirrorCircuit(Circuit):
             w = witness_non_id(PALLAS.mul(gen, scalar % q_scalar))
             chip.constrain_equal(layouter, result, w)
 
+        # zero_magnitude_signs: "mul by +zero" / "mul by -zero" — two
+        # more short muls, identity-asserted only (short.rs tests; no
+        # expected-point witness or constrain)
+        for magnitude, sign in ((0, 1), (0, pm - 1)):
+            m_cell = chip.load_private(layouter, config.advices[0],
+                                       V(magnitude))
+            s_cell = chip.load_private(layouter, config.advices[0],
+                                       V(sign))
+            chip.mul_fixed_short(layouter, (m_cell, s_cell), BASE_SHORT)
+
         # ---- mul_fixed::base_field_elem::tests (4 scalars) ----
         for scalar in (RNG.randrange(pm),
                        _oct_fold(LAST_DOUBLING_OCT, pm),
@@ -213,7 +225,17 @@ class EccMirrorCircuit(Circuit):
                 chip.constrain_equal(layouter, result, w)
 
 
-def test_ecc_cs_parity():
+class EccMirror45BCircuit(EccMirrorCircuit):
+    """MyEccCircuit::<PallasLookupRangeCheck4_5BConfig> (ecc.rs:999-1010,
+    golden ecc_chip_4_5b, proof size 3968)."""
+    LOOKUP_CONFIG = LookupRangeCheck45BConfig
+
+
+@pytest.mark.parametrize("circuit_cls,name", [
+    (EccMirrorCircuit, "ecc_chip"),
+    (EccMirror45BCircuit, "ecc_chip_4_5b"),
+])
+def test_ecc_cs_parity(circuit_cls, name):
     """The constraint system (gates, queries, selector compression,
     domain) matches the golden vk byte-for-byte: rebuilding the pinned
     text around the golden commitments reproduces the stored rdata."""
@@ -228,7 +250,7 @@ def test_ecc_cs_parity():
 
     K = 11
     N = 1 << K
-    text = open(os.path.join(GOLDEN, "vk_ecc_chip.rdata")).read()
+    text = open(os.path.join(GOLDEN, f"vk_{name}.rdata")).read()
     m = re.search(r"fixed_commitments: \[(.*?)\n    \]", text, re.S)
     gold_fixed = [(int(x, 16), int(y, 16)) for x, y in re.findall(
         r"\(0x([0-9a-f]+), 0x([0-9a-f]+)\)", m.group(1))]
@@ -238,7 +260,7 @@ def test_ecc_cs_parity():
         r"\(0x([0-9a-f]+), 0x([0-9a-f]+)\)", m.group(1))]
 
     cs = ConstraintSystem()
-    circuit = EccMirrorCircuit(False)
+    circuit = circuit_cls(False)
     config = type(circuit).configure(cs)
     assembly = Assembly(cs, SimpleNamespace(n=N, k=K), VESTA.scalar)
     synthesize_circuit(assembly, circuit, config, cs.constants)
@@ -257,17 +279,19 @@ def test_ecc_cs_parity():
     assert vk.pinned_text() + "\n" == text
 
 
-@pytest.mark.xfail(reason="tail-section row layout diverges from the "
-                   "golden artifacts in the short/base-field fixed-base"
-                   " mul sections; see NOTES_ECC_PARITY.md round-2 "
-                   "findings", strict=False)
-def test_ecc_vk_and_proof_parity():
+@pytest.mark.parametrize("circuit_cls,name", [
+    (EccMirrorCircuit, "ecc_chip"),
+    (EccMirror45BCircuit, "ecc_chip_4_5b"),
+])
+def test_ecc_vk_and_proof_parity(circuit_cls, name):
+    """Full vk byte-parity + stored-proof verification against the
+    reference's golden artifacts (halo2_gadgets test_circuits)."""
     params = Params.new(VESTA, 11, use_cache=False)
-    vk = keygen_vk(params, EccMirrorCircuit(False))
-    expected = open(os.path.join(GOLDEN, "vk_ecc_chip.rdata")).read()
+    vk = keygen_vk(params, circuit_cls(False))
+    expected = open(os.path.join(GOLDEN, f"vk_{name}.rdata")).read()
     assert vk.pinned_text() + "\n" == expected
 
-    proof = open(os.path.join(GOLDEN, "proof_ecc_chip.bin"),
+    proof = open(os.path.join(GOLDEN, f"proof_{name}.bin"),
                  "rb").read()
     tr = TranscriptRead(VESTA, proof)
     verify_proof(params, vk, SingleVerifier(params), [[]], tr)
