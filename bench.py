@@ -16,7 +16,7 @@ CPU backend, so the driver always gets a number. The reference
 compares against a host-python Pippenger op-count estimate of the
 rayon-CPU reference scaled by a sampled group-op timing.
 
-Env: HALO2_TPU_BENCH_K (default 11), HALO2_TPU_BENCH_TIMEOUT (default
+Env: HALO2_TPU_BENCH_K (default 16), HALO2_TPU_BENCH_TIMEOUT (default
 1200 s per attempt).
 """
 import json
@@ -80,8 +80,11 @@ def worker(k: int) -> None:
     points_per_s = n / dt
     assert all(r == results[0] for r in results)
 
-    # crude rayon-CPU reference estimate: Pippenger op count at the
-    # reference's window choice, scaled by a sampled python/rust ratio
+    # rayon-CPU reference estimate: the reference's Pippenger op count
+    # (best_multiexp, arithmetic.rs:143-180: c = max(3, ceil(ln n)),
+    # (256/c)+1 windows; per window n bucket adds + 2*2^c suffix-sum
+    # adds; 256 doublings), scaled by a sampled python/rust add ratio.
+    import math
     sample = 64
     t0 = time.perf_counter()
     acc = None
@@ -89,7 +92,10 @@ def worker(k: int) -> None:
         acc = spec.add(acc, p)
     py_add = (time.perf_counter() - t0) / sample
     rust_add = py_add / 300.0
-    cpu_est_time = (n * 32 + 255 * 32) * rust_add
+    c = max(3, int(math.ceil(math.log(n))))
+    windows = 256 // c + 1
+    ref_adds = windows * (n + 2 * (1 << c)) + 256
+    cpu_est_time = ref_adds * rust_add
     cpu_points_per_s = n / cpu_est_time
 
     print(json.dumps({
@@ -105,7 +111,7 @@ def main() -> None:
         worker(int(sys.argv[2]))
         return
 
-    k = int(os.environ.get("HALO2_TPU_BENCH_K", "11"))
+    k = int(os.environ.get("HALO2_TPU_BENCH_K", "16"))
     timeout = int(os.environ.get("HALO2_TPU_BENCH_TIMEOUT", "1200"))
     attempts = [(k, None), (k, None), (max(k - 2, 8), None), (9, "cpu")]
     for kk, platform in attempts:
