@@ -49,14 +49,49 @@ class CellNotAssigned:
 
 @dataclass(frozen=True)
 class ConstraintNotSatisfied:
+    """dev/failure.rs:111-131 ConstraintNotSatisfied — `cell_values` is
+    the reference's queried-cell table: ((column_label, rotation),
+    hex_value) per virtual cell of the failing constraint, rendered in
+    the emitter style (failure/emitter.rs render_cell_layout)."""
     gate_name: str
     constraint_name: str
     location: FailureLocation
     cell_values: tuple = ()
 
     def __str__(self):
-        return (f"Constraint '{self.constraint_name}' in gate "
+        head = (f"Constraint '{self.constraint_name}' in gate "
                 f"'{self.gate_name}' is not satisfied {self.location}")
+        if not self.cell_values:
+            return head
+        lines = [head]
+        labels = {cell: f"x{i}" for i, (cell, _v)
+                  in enumerate(self.cell_values)}
+        columns = sorted({col for (col, _rot), _v in self.cell_values})
+        rotations = sorted({rot for (_col, rot), _v in self.cell_values})
+        off = self.location.offset
+        if off is not None:
+            lines.append(
+                f"  Cell layout in region '{self.location.region_name}':")
+            rowhdr = "Offset"
+        else:
+            lines.append(f"  Cell layout at row {self.location.row}:")
+            rowhdr = "Rotation"
+        widths = [max(len(c), 2) for c in columns]
+        lines.append("    | " + rowhdr + " | "
+                     + " | ".join(c.ljust(w)
+                                  for c, w in zip(columns, widths))
+                     + " |")
+        for rot in rotations:
+            row_label = str(rot + off if off is not None else rot)
+            cells = []
+            for col, w in zip(columns, widths):
+                cells.append(labels.get((col, rot), "").ljust(w))
+            lines.append(f"    | {row_label.rjust(len(rowhdr))} | "
+                         + " | ".join(cells) + " |")
+        lines.append(f"  Constraint '{self.constraint_name}':")
+        for cell, v in self.cell_values:
+            lines.append(f"    {labels[cell]} = {v}")
+        return "\n".join(lines)
 
 
 @dataclass(frozen=True)

@@ -195,6 +195,33 @@ class MockProver:
         col = self.instance[column_index]
         return col[row] if row < len(col) else 0
 
+    def _collect_cell_values(self, poly, row: int) -> tuple:
+        """The queried-cell table of a failing constraint at `row`:
+        ((column_label, rotation), hex) per virtual cell, in query order
+        (dev.rs:668-699 cell_values)."""
+        seen = {}
+
+        def visit(kind, letter, q):
+            key = (f"{letter}{q.column_index}", q.rotation.value)
+            if key not in seen:
+                v = self._cell_value(kind, q.column_index,
+                                     row + q.rotation.value)
+                if v is POISON:
+                    seen[key] = "poisoned"
+                else:
+                    seen[key] = hex(v)
+            return 0
+
+        poly.evaluate(
+            constant=lambda v: 0,
+            selector_fn=lambda q: 0,
+            fixed_fn=lambda q: visit(FIXED, "F", q),
+            advice_fn=lambda q: visit(ADVICE, "A", q),
+            instance_fn=lambda q: visit(INSTANCE, "I", q),
+            negated=lambda a: 0, sum_fn=lambda a, b: 0,
+            product=lambda a, b: 0, scaled=lambda a, v: 0)
+        return tuple(seen.items())
+
     def verify_vectorized(self) -> list:
         """Device-vectorized gate check: evaluate every gate polynomial
         over ALL rows as one fused XLA program (the TPU-native MockProver
@@ -238,7 +265,9 @@ class MockProver:
                     errors.append(ConstraintNotSatisfied(
                         gate_name=gate.name,
                         constraint_name=cname or "constraint",
-                        location=self._locate(int(row))))
+                        location=self._locate(int(row)),
+                        cell_values=self._collect_cell_values(
+                            poly, int(row))))
         return errors
 
     def verify(self, streams=("cells", "gates", "lookups", "permutation")
@@ -319,7 +348,9 @@ class MockProver:
                     elif value is not None and value % p != 0:
                         errors.append(ConstraintNotSatisfied(
                             gate_name=gate.name, constraint_name=name,
-                            location=self._locate(row)))
+                            location=self._locate(row),
+                            cell_values=self._collect_cell_values(
+                                poly, row)))
 
         # 3. lookups (dev.rs:709-833)
         from ..plonk.evaluation import evaluate_expression_host

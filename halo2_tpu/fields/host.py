@@ -102,7 +102,7 @@ class FieldSpec:
         a %= p
         if a == 0:
             return 0
-        if pow(a, (p - 1) // 2, p) != 1:
+        if not self.is_square(a):  # Jacobi — far cheaper than Euler pow
             return None
         # Tonelli-Shanks with the field's own 2-adic generator.
         m = self.s

@@ -16,6 +16,9 @@ the transcript.
 """
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,6 +39,23 @@ from .lookup import (lookup_commit_permuted, lookup_commit_product,
                      lookup_h_terms, lookup_evaluate)
 from .vanishing import (vanishing_commit, vanishing_construct,
                         vanishing_evaluate)
+
+
+class _PhaseTimer:
+    """Wall-clock per prover phase, printed when HALO2_TPU_PROF is set
+    (the aux-observability analogue of the reference's TracingFloorPlanner
+    span timings, SURVEY.md §5.1)."""
+
+    def __init__(self):
+        self.enabled = bool(os.environ.get("HALO2_TPU_PROF"))
+        self.t = time.perf_counter()
+
+    def lap(self, name: str) -> None:
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        print(f"[prove] {name}: {now - self.t:.2f}s", flush=True)
+        self.t = now
 
 
 class WitnessCollection:
@@ -105,6 +125,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     domain = pk.vk.domain
     n = params.n
 
+    prof = _PhaseTimer()
     pk.vk.hash_into(transcript)
 
     # ---- instance commitments (common inputs) + polys + cosets ----
@@ -129,6 +150,8 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             transcript.common_point(c)
         instance_singles.append(
             {"values": values_l, "polys": polys_l, "cosets": cosets_l})
+
+    prof.lap("instance commit+ntt")
 
     # ---- witness synthesis + advice commitments ----
     unusable_rows_start = n - (cs.blinding_factors() + 1)
@@ -157,6 +180,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
         advice_singles.append({"values": advice_cols, "polys": polys,
                                "cosets": cosets, "blinds": advice_blinds})
 
+    prof.lap("advice synth+commit+ntt")
     theta = transcript.squeeze_challenge()
 
     # ---- lookups: commit permuted ----
@@ -170,6 +194,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
                 rng, transcript))
         lookups_permuted.append(per_instance)
 
+    prof.lap("lookup permuted")
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
@@ -181,6 +206,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             adv_s["values"], pk.fixed_values, inst_s["values"],
             beta, gamma, rng, transcript))
 
+    prof.lap("permutation z")
     # ---- lookup product commitments ----
     lookups_committed = []
     for per_instance in lookups_permuted:
@@ -190,9 +216,11 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
                 permuted, cs, params, domain, beta, gamma, rng, transcript))
         lookups_committed.append(lk)
 
+    prof.lap("lookup products")
     # ---- vanishing: random poly ----
     vanishing = vanishing_commit(params, domain, rng, transcript)
 
+    prof.lap("vanishing random")
     y = transcript.squeeze_challenge()
 
     # ---- h(X) terms ----
@@ -225,9 +253,11 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     ext_n = domain.extended_n
     h_terms = [jnp.broadcast_to(t, (ext_n, NLIMBS)) for t in h_terms]
 
+    prof.lap("h terms build")
     constructed = vanishing_construct(vanishing, params, domain, h_terms, y,
                                       rng, transcript)
 
+    prof.lap("vanishing construct (h commit)")
     x = transcript.squeeze_challenge()
     xn = pow(x, n, fs.modulus)
 
@@ -253,6 +283,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             ev(pk.fixed_polys[column.index],
                domain.rotate_omega(x, at.value)))
 
+    prof.lap("instance/advice/fixed evals")
     h_poly, h_blind = vanishing_evaluate(constructed, params, x, xn,
                                          transcript)
 
@@ -263,6 +294,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
         for committed in lk_committed:
             lookup_evaluate(committed, domain, df, x, transcript)
 
+    prof.lap("vanishing+perm+lookup evals")
     # ---- multiopen queries (prover.rs:676-724) ----
     queries: list[ProverQuery] = []
     blinding_factors = cs.blinding_factors()
@@ -321,3 +353,4 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
                                blind=vanishing.random_blind))
 
     multiopen_create_proof(params, rng, transcript, queries)
+    prof.lap("multiopen+ipa")

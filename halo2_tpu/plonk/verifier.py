@@ -15,6 +15,7 @@ from ..fields.device import NLIMBS
 from ..poly.commitment import Params, MSMAccumulator, DEFAULT_BLIND
 from ..poly.multiopen import VerifierQuery, multiopen_verify_proof
 from .circuit import ConstraintSystem
+from .error import Error
 from .keys import VerifyingKey
 from .evaluation import evaluate_expression_host
 from .permutation import permutation_verifier_expressions
@@ -285,7 +286,9 @@ class BatchVerifier:
             try:
                 verify_proof(self.params, vk, strategy, instances,
                              transcript)
-            except Exception:
+            except (VerificationError, Error):
+                # a malformed/failing proof fails the whole batch
+                # (batch.rs:95-117); programming errors still raise
                 return False
             item = strategy.msm
             item.scale(self.params.curve.scalar.rand(rng))

@@ -164,8 +164,16 @@ class Params:
 
     # ----------------- commitments -----------------
     def _commit_inner(self, values_mont: jnp.ndarray, blind: int,
-                      bases: JPoint) -> Point:
+                      bases: JPoint, host_bases: list) -> Point:
         fs = self.curve.scalar
+        from ..ops.msm import HOST_MSM_THRESHOLD, _is_concrete
+        if _is_concrete(values_mont) and self.n + 1 <= HOST_MSM_THRESHOLD:
+            # fully host: no device round-trips for small concrete
+            # commits (the dominant keygen cost on CPU backends)
+            import numpy as np
+            ints = self.scalar_df.from_mont_np(np.asarray(values_mont))
+            scalars = [int(v) for v in ints] + [blind % fs.modulus]
+            return self.curve.msm(scalars, list(host_bases) + [self.w])
         scalars = from_mont(self.scalar_df, values_mont)
         bdig = jnp.asarray(_digits16_np(blind % fs.modulus))[None]
         scalars = jnp.concatenate([scalars, bdig], axis=0)
@@ -179,11 +187,12 @@ class Params:
 
     def commit(self, coeffs_mont: jnp.ndarray, blind: int) -> Point:
         assert coeffs_mont.shape[0] == self.n
-        return self._commit_inner(coeffs_mont, blind, self.g_dev)
+        return self._commit_inner(coeffs_mont, blind, self.g_dev, self.g)
 
     def commit_lagrange(self, values_mont: jnp.ndarray, blind: int) -> Point:
         assert values_mont.shape[0] == self.n
-        return self._commit_inner(values_mont, blind, self.g_lagrange_dev)
+        return self._commit_inner(values_mont, blind, self.g_lagrange_dev,
+                                  self.g_lagrange)
 
     def empty_msm(self) -> "MSMAccumulator":
         return MSMAccumulator(self)
@@ -374,11 +383,13 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         # G' collapse: g_lo + [u_j] g_hi (prover.rs:154-166)
         from ..ops.msm import HOST_MSM_THRESHOLD
         if half <= HOST_MSM_THRESHOLD:
+            cur = params.curve
             lo = dev.points_from_device(_slice_pts(g_prime, 0, half))
             hi = dev.points_from_device(_slice_pts(g_prime, half, 2 * half))
-            collapsed = [params.curve.add(l, params.curve.mul(h, u_j))
-                         for l, h in zip(lo, hi)]
-            g_prime = dev.points_to_device(collapsed)
+            jac = [cur._jmixed(cur._jmul(h, u_j), l) if l is not None
+                   else cur._jmul(h, u_j)
+                   for l, h in zip(lo, hi)]
+            g_prime = dev.points_to_device(cur._jbatch_normalize(jac))
         else:
             dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
                                    (half, 16))

@@ -44,12 +44,14 @@ vk = keygen_vk(params, circuit.without_witnesses())
 pk = keygen_pk(params, vk, circuit.without_witnesses())
 print(f"keygen: {time.perf_counter()-t0:.1f}s", flush=True)
 
-t0 = time.perf_counter()
-tw = TranscriptWrite(CURVE)
-create_proof(params, pk, [circuit], [[[pub]]], random.Random(42), tw)
-proof = tw.finalize()
-print(f"prove: {time.perf_counter()-t0:.1f}s  proof={len(proof)}B",
-      flush=True)
+repeats = int(os.environ.get("HALO2_TPU_E2E_REPEAT", "1"))
+for rep in range(repeats):
+    t0 = time.perf_counter()
+    tw = TranscriptWrite(CURVE)
+    create_proof(params, pk, [circuit], [[[pub]]], random.Random(42), tw)
+    proof = tw.finalize()
+    print(f"prove[{rep}]: {time.perf_counter()-t0:.1f}s  "
+          f"proof={len(proof)}B", flush=True)
 
 tr = TranscriptRead(CURVE, proof)
 verify_proof(params, vk, SingleVerifier(params), [[[pub]]], tr)

@@ -142,9 +142,9 @@ def test_mul_circuit_accumulator_and_batch(params):
     assert acc.g is not None and len(acc.u_packed) == K
 
     batch = BatchVerifier(params)
-    batch.add_proof([[out]], proof)
+    batch.add_proof([[[out]]], proof)
     proof2 = _prove(params, pk, MulCircuit(2, 13), [[fs.mul(2, 13)]])
-    batch.add_proof([[fs.mul(2, 13)]], proof2)
+    batch.add_proof([[[fs.mul(2, 13)]]], proof2)
     assert batch.finalize(vk)
 
 
