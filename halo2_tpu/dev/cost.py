@@ -226,15 +226,119 @@ class CircuitCost:
         return ProofSize(point_bytes=points * 32, scalar_bytes=scalars * 32)
 
 
+def _format_value(v: int) -> str:
+    """dev/util.rs:58-74: 0 / 1 / -1 / bare hex without 0x-padding."""
+    if v == 0:
+        return "0"
+    if v == 1:
+        return "1"
+    if v == -1:
+        return "-1"
+    return hex(v)[2:].lstrip("0") or "0"
+
+
+def _format_expr(poly) -> str:
+    """The reference's expression pretty-printer (gates.rs:119-152)."""
+    def neg(a):
+        return f"-({a})" if " " in a else f"-{a}"
+
+    def add(a, b):
+        if b.startswith("-"):
+            return f"{a} - {b[1:]}"
+        return f"{a} + {b}"
+
+    def mul(a, b):
+        a = f"({a})" if " " in a else a
+        b = f"({b})" if " " in b else b
+        return f"{a} * {b}"
+
+    def scaled(a, s):
+        a = f"({a})" if " " in a else a
+        return f"{a} * {_format_value(s)}"
+
+    return poly.evaluate(
+        constant=_format_value,
+        selector_fn=lambda s: f"S{s.index}",
+        fixed_fn=lambda q: f"F{q.column_index}@{q.rotation.value}",
+        advice_fn=lambda q: f"A{q.column_index}@{q.rotation.value}",
+        instance_fn=lambda q: f"I{q.column_index}@{q.rotation.value}",
+        negated=neg, sum_fn=add, product=mul, scaled=scaled)
+
+
+def _expr_queries(poly) -> set:
+    return poly.evaluate(
+        constant=lambda v: set(),
+        selector_fn=lambda s: {f"S{s.index}"},
+        fixed_fn=lambda q: {f"F{q.column_index}@{q.rotation.value}"},
+        advice_fn=lambda q: {f"A{q.column_index}@{q.rotation.value}"},
+        instance_fn=lambda q: {f"I{q.column_index}@{q.rotation.value}"},
+        negated=lambda a: a, sum_fn=lambda a, b: a | b,
+        product=lambda a, b: a | b, scaled=lambda a, s: a)
+
+
 class CircuitGates:
-    """Static gate inventory (dev/gates.rs:94-218)."""
+    """Static gate inventory with the reference's expression formatting,
+    op totals, Display string and query CSV (dev/gates.rs:94-262)."""
+
+    def __init__(self, gates, totals):
+        # gates: [(gate_name, [(constraint_name, expr_str, queries)])]
+        self.gates = gates
+        (self.total_negations, self.total_additions,
+         self.total_multiplications) = totals
 
     @classmethod
-    def collect(cls, circuit_cls) -> list[tuple[str, str, str]]:
+    def collect(cls, circuit_cls) -> "CircuitGates":
         cs = ConstraintSystem()
         circuit_cls.configure(cs)
-        out = []
+        gates = []
+        tot = (0, 0, 0)
         for gate in cs.gates:
+            constraints = []
             for name, poly in zip(gate.constraint_names, gate.polys):
-                out.append((gate.name, name, repr(poly)))
-        return out
+                constraints.append((name or "", _format_expr(poly),
+                                    _expr_queries(poly)))
+                n, a, m = poly.evaluate(
+                    constant=lambda v: (0, 0, 0),
+                    selector_fn=lambda s: (0, 0, 0),
+                    fixed_fn=lambda q: (0, 0, 0),
+                    advice_fn=lambda q: (0, 0, 0),
+                    instance_fn=lambda q: (0, 0, 0),
+                    negated=lambda t: (t[0] + 1, t[1], t[2]),
+                    sum_fn=lambda t, u: (t[0] + u[0], t[1] + u[1] + 1,
+                                         t[2] + u[2]),
+                    product=lambda t, u: (t[0] + u[0], t[1] + u[1],
+                                          t[2] + u[2] + 1),
+                    scaled=lambda t, s: (t[0], t[1], t[2] + 1))
+                tot = (tot[0] + n, tot[1] + a, tot[2] + m)
+            gates.append((gate.name, constraints))
+        return cls(gates, tot)
+
+    def queries_to_csv(self) -> str:
+        """gates.rs:218-249: query-membership grid, one row per
+        constraint, sorted query columns."""
+        queries = sorted({q for _g, cons in self.gates
+                          for _n, _e, qs in cons for q in qs})
+        lines = ["".join(f"{q}," for q in queries) + "Name"]
+        for gname, cons in self.gates:
+            for cname, _expr, qs in cons:
+                row = "".join("1," if q in qs else "0," for q in queries)
+                lines.append(f"{row}{gname}/{cname}")
+        return "\n".join(lines) + "\n"
+
+    def __str__(self):
+        lines = []
+        for gname, cons in self.gates:
+            lines.append(f"{gname}:")
+            for cname, expr, _qs in cons:
+                if not cname:
+                    lines.append(f"- {expr}")
+                else:
+                    lines.append(f"- {cname}:")
+                    lines.append(f"  {expr}")
+        lines.append(f"Total gates: {len(self.gates)}")
+        lines.append("Total custom constraint polynomials: "
+                     + str(sum(len(c) for _g, c in self.gates)))
+        lines.append(f"Total negations: {self.total_negations}")
+        lines.append(f"Total additions: {self.total_additions}")
+        lines.append(f"Total multiplications: {self.total_multiplications}")
+        return "\n".join(lines) + "\n"

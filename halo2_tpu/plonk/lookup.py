@@ -258,14 +258,17 @@ def lookup_h_terms(committed: CommittedLookup, domain, theta: int,
 
 
 def lookup_evaluate(committed: CommittedLookup, domain, df, x: int,
-                    transcript) -> dict:
+                    transcript, eval_fn=None) -> dict:
     """5 evals in transcript order (lookup/prover.rs:481-510)."""
     x_inv = domain.rotate_omega(x, -1)
     x_next = domain.rotate_omega(x, 1)
 
-    def ev(poly, point):
-        return int(df.from_mont_np(np.asarray(
-            eval_poly(df, poly, df.scalar(point)))))
+    if eval_fn is not None:
+        ev = eval_fn
+    else:
+        def ev(poly, point):
+            return int(df.from_mont_np(np.asarray(
+                eval_poly(df, poly, df.scalar(point)))))
 
     evals = {
         "product_eval": ev(committed.product_poly, x),

@@ -279,31 +279,29 @@ def permutation_h_terms(cs: ConstraintSystem, domain, pkey,
 
 
 def permutation_evaluate(sets: list[CommittedSet], domain, cs, x: int,
-                         df, transcript) -> None:
+                         df, transcript, eval_fn=None) -> None:
     """prover.rs:341-384 eval order: per set (x, ωx[, ω^last x])."""
     blinding_factors = cs.blinding_factors()
     x_next = domain.rotate_omega(x, 1)
     x_last = domain.rotate_omega(x, -(blinding_factors + 1))
+    if eval_fn is None:
+        eval_fn = lambda poly, pt: int(df.from_mont_np(np.asarray(
+            eval_poly(df, poly, df.scalar(pt)))))
     for i, s in enumerate(sets):
-        ev = int(df.from_mont_np(np.asarray(
-            eval_poly(df, s.z_poly, df.scalar(x)))))
-        ev_next = int(df.from_mont_np(np.asarray(
-            eval_poly(df, s.z_poly, df.scalar(x_next)))))
-        transcript.write_scalar(ev)
-        transcript.write_scalar(ev_next)
+        transcript.write_scalar(eval_fn(s.z_poly, x))
+        transcript.write_scalar(eval_fn(s.z_poly, x_next))
         if i < len(sets) - 1:
-            ev_last = int(df.from_mont_np(np.asarray(
-                eval_poly(df, s.z_poly, df.scalar(x_last)))))
-            transcript.write_scalar(ev_last)
+            transcript.write_scalar(eval_fn(s.z_poly, x_last))
 
 
 def permutation_pk_evaluate(pkey: PermutationProvingKey, df, x: int,
-                            transcript) -> None:
+                            transcript, eval_fn=None) -> None:
     """σ-poly evals at x (prover.rs:315-339)."""
+    if eval_fn is None:
+        eval_fn = lambda poly, pt: int(df.from_mont_np(np.asarray(
+            eval_poly(df, poly, df.scalar(pt)))))
     for poly in pkey.polys:
-        ev = int(df.from_mont_np(np.asarray(
-            eval_poly(df, poly, df.scalar(x)))))
-        transcript.write_scalar(ev)
+        transcript.write_scalar(eval_fn(poly, x))
 
 
 def permutation_verifier_expressions(

@@ -261,9 +261,43 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     x = transcript.squeeze_challenge()
     xn = pow(x, n, fs.modulus)
 
-    def ev(poly, point):
-        return int(df.from_mont_np(np.asarray(
-            eval_poly(df, poly, df.scalar(point)))))
+    # ---- ALL scalar opens between the x and x1 squeezes are computed
+    # in ONE batched device dispatch (poly/utils.py::MemoEval): each
+    # individual eval is pure round-trip latency on a tunneled device.
+    from ..poly.utils import MemoEval
+    memo = MemoEval(df)
+    for inst_s in instance_singles:
+        for column, at in cs.instance_queries:
+            memo.collect(inst_s["polys"][column.index],
+                         domain.rotate_omega(x, at.value))
+    for adv_s in advice_singles:
+        for column, at in cs.advice_queries:
+            memo.collect(adv_s["polys"][column.index],
+                         domain.rotate_omega(x, at.value))
+    for column, at in cs.fixed_queries:
+        memo.collect(pk.fixed_polys[column.index],
+                     domain.rotate_omega(x, at.value))
+    _x_next = domain.rotate_omega(x, 1)
+    _x_inv = domain.rotate_omega(x, -1)
+    _x_last = domain.rotate_omega(x, -(cs.blinding_factors() + 1))
+    for poly in pk.permutation.polys:
+        memo.collect(poly, x)
+    for perm_sets in permutations_committed:
+        for i, s in enumerate(perm_sets):
+            memo.collect(s.z_poly, x)
+            memo.collect(s.z_poly, _x_next)
+            if i < len(perm_sets) - 1:
+                memo.collect(s.z_poly, _x_last)
+    for lk_committed in lookups_committed:
+        for committed in lk_committed:
+            memo.collect(committed.product_poly, x)
+            memo.collect(committed.product_poly, _x_next)
+            memo.collect(committed.permuted.permuted_input_poly, x)
+            memo.collect(committed.permuted.permuted_input_poly, _x_inv)
+            memo.collect(committed.permuted.permuted_table_poly, x)
+    memo.collect(vanishing.random_poly, x)
+    memo.compute()
+    ev = memo.ev
 
     # instance evals
     for inst_s in instance_singles:
@@ -285,14 +319,17 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
 
     prof.lap("instance/advice/fixed evals")
     h_poly, h_blind = vanishing_evaluate(constructed, params, x, xn,
-                                         transcript)
+                                         transcript, eval_fn=ev)
 
-    permutation_pk_evaluate(pk.permutation, df, x, transcript)
+    permutation_pk_evaluate(pk.permutation, df, x, transcript,
+                            eval_fn=ev)
     for perm_sets in permutations_committed:
-        permutation_evaluate(perm_sets, domain, cs, x, df, transcript)
+        permutation_evaluate(perm_sets, domain, cs, x, df, transcript,
+                             eval_fn=ev)
     for lk_committed in lookups_committed:
         for committed in lk_committed:
-            lookup_evaluate(committed, domain, df, x, transcript)
+            lookup_evaluate(committed, domain, df, x, transcript,
+                            eval_fn=ev)
 
     prof.lap("vanishing+perm+lookup evals")
     # ---- multiopen queries (prover.rs:676-724) ----

@@ -71,7 +71,7 @@ def vanishing_construct(committed: VanishingCommitted, params, domain,
 
 
 def vanishing_evaluate(constructed: VanishingConstructed, params, x: int,
-                       xn: int, transcript):
+                       xn: int, transcript, eval_fn=None):
     """Fold pieces by xn (Horner over reversed pieces), write random_eval
     (vanishing/prover.rs:125-152). Returns (h_poly coeffs, h_blind)."""
     from ..fields.device import fadd, fmul
@@ -92,7 +92,11 @@ def vanishing_evaluate(constructed: VanishingConstructed, params, x: int,
     for blind in reversed(constructed.h_blinds):
         h_blind = (h_blind * xn + blind) % fs.modulus
 
-    random_eval = int(df.from_mont_np(np.asarray(
-        eval_poly(df, constructed.committed.random_poly, df.scalar(x)))))
+    if eval_fn is not None:
+        random_eval = eval_fn(constructed.committed.random_poly, x)
+    else:
+        random_eval = int(df.from_mont_np(np.asarray(
+            eval_poly(df, constructed.committed.random_poly,
+                      df.scalar(x)))))
     transcript.write_scalar(random_eval)
     return h_poly, h_blind

@@ -318,6 +318,8 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     dev = params.dev
     n, k = params.n, params.k
     assert p_poly_mont.shape[0] == n
+    from ..plonk.prover import _PhaseTimer
+    prof = _PhaseTimer()
 
     # random poly S with a root at x3 (prover.rs:45-58)
     s_vals = [fs.rand(rng) for _ in range(n)]
@@ -329,6 +331,7 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     s_blind = fs.rand(rng)
     transcript.write_point(params.commit(s_poly, s_blind))
 
+    prof.lap("ipa S commit")
     xi = transcript.squeeze_challenge()
     z = transcript.squeeze_challenge()
 
@@ -349,6 +352,7 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     b = powers(df, df.scalar(x3), n)
     g_prime = JPoint(params.g_dev.x, params.g_dev.y, params.g_dev.z)
 
+    prof.lap("ipa P' setup")
     for j in range(k):
         half = 1 << (k - j - 1)
         l_j = msm_mont(dev, p_prime[half:], _slice_pts(g_prime, 0, half))
@@ -370,6 +374,7 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         transcript.write_point(l_pt)
         transcript.write_point(r_pt)
 
+        prof.lap(f"ipa round {j} L/R (half={half})")
         u_j = transcript.squeeze_challenge()
         u_j_inv = fs.inv(u_j)
 

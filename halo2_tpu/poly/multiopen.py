@@ -149,6 +149,8 @@ def multiopen_create_proof(params: Params, rng, transcript,
     fs = params.curve.scalar
     n = params.n
 
+    from ..plonk.prover import _PhaseTimer
+    prof = _PhaseTimer()
     x1 = transcript.squeeze_challenge()
     x2 = transcript.squeeze_challenge()
 
@@ -173,6 +175,7 @@ def multiopen_create_proof(params: Params, rng, transcript,
                          jnp.broadcast_to(x1_m, q_polys[si].shape)), q.poly)
         q_blinds[si] = (q_blinds[si] * x1 + q.blind) % fs.modulus
 
+    prof.lap("multiopen q_polys fold")
     # q'(X): chained Kate divisions per point set, folded with x2
     x2_m = df.scalar(x2)
     q_prime = None
@@ -189,15 +192,17 @@ def multiopen_create_proof(params: Params, rng, transcript,
                 df, fmul(df, q_prime, jnp.broadcast_to(x2_m, q_prime.shape)),
                 poly)
 
+    prof.lap("multiopen kate divisions")
     q_prime_blind = fs.rand(rng)
     transcript.write_point(params.commit(q_prime, q_prime_blind))
 
+    prof.lap("multiopen q' commit")
     x3 = transcript.squeeze_challenge()
-    x3_m = df.scalar(x3)
-    for qp in q_polys:
-        ev = int(df.from_mont_np(np.asarray(eval_poly(df, qp, x3_m))))
+    from .utils import batch_eval_polys
+    for ev in batch_eval_polys(df, [(qp, x3) for qp in q_polys]):
         transcript.write_scalar(ev)
 
+    prof.lap("multiopen u evals")
     x4 = transcript.squeeze_challenge()
     x4_m = df.scalar(x4)
     p_poly = q_prime
@@ -207,7 +212,9 @@ def multiopen_create_proof(params: Params, rng, transcript,
             df, fmul(df, p_poly, jnp.broadcast_to(x4_m, p_poly.shape)), qp)
         p_blind = (p_blind * x4 + blind) % fs.modulus
 
+    prof.lap("multiopen final fold")
     ipa_create_proof(params, rng, transcript, p_poly, p_blind, x3)
+    prof.lap("ipa total")
 
 
 def multiopen_verify_proof(params: Params, transcript,

@@ -55,6 +55,56 @@ def inner_product(df: DeviceField, a: jnp.ndarray, b: jnp.ndarray
     return tree_add(df, fmul(df, a, b), axis=0)
 
 
+def batch_eval_polys(df: DeviceField, pairs) -> list[int]:
+    """Evaluate many (poly_mont (n, L), point_int) pairs in ONE vmapped
+    device dispatch + readback. The prover's eval phases issue dozens of
+    scalar opens between the x and x1 squeezes; dispatching each alone
+    is pure round-trip latency on a tunneled device."""
+    import jax
+    import numpy as np
+    if not pairs:
+        return []
+    n = max(p.shape[0] for p, _ in pairs)
+    polys = jnp.stack([
+        p if p.shape[0] == n else jnp.concatenate(
+            [p, jnp.zeros((n - p.shape[0],) + p.shape[1:], p.dtype)])
+        for p, _ in pairs])
+    pts = jnp.stack([df.scalar(pt) for _, pt in pairs])
+    vals = jax.vmap(lambda c, x: eval_poly(df, c, x))(polys, pts)
+    return [int(v) for v in df.from_mont_np(np.asarray(vals))]
+
+
+class MemoEval:
+    """Memoized eval function backed by one batch_eval_polys dispatch:
+    collect every (poly, point) pair up front, compute once, then serve
+    `ev(poly, point)` lookups during the transcript-write phase."""
+
+    def __init__(self, df):
+        self.df = df
+        self._pairs = []
+        self._keys = {}
+        self._vals = None
+
+    def collect(self, poly, point: int) -> None:
+        key = (id(poly), point)
+        if key not in self._keys:
+            self._keys[key] = len(self._pairs)
+            self._pairs.append((poly, point))
+
+    def compute(self) -> None:
+        self._vals = batch_eval_polys(self.df, self._pairs)
+
+    def ev(self, poly, point: int) -> int:
+        key = (id(poly), point)
+        if self._vals is None or key not in self._keys:
+            # fallback: single dispatch (keeps callers correct if a pair
+            # was not pre-collected)
+            import numpy as np
+            return int(self.df.from_mont_np(np.asarray(
+                eval_poly(self.df, poly, self.df.scalar(point)))))
+        return self._vals[self._keys[key]]
+
+
 def kate_division(df: DeviceField, coeffs: jnp.ndarray, b_mont: jnp.ndarray
                   ) -> jnp.ndarray:
     """q(X) = (p(X) - p(b)) / (X - b), dropping the remainder: the quotient
