@@ -36,6 +36,13 @@ def worker(k: int) -> None:
     import jax
     import jax.numpy as jnp
 
+    # The axon sitecustomize pins jax_platforms via config at interpreter
+    # startup, which overrides the JAX_PLATFORMS env var — re-assert the
+    # requested platform so the CPU-fallback attempts actually run on CPU
+    # instead of hanging on a wedged tunnel.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache",
                                    os.environ.get("JAX_PLATFORMS", "axon")
@@ -103,21 +110,76 @@ def worker(k: int) -> None:
     }), flush=True)
 
 
+def native_worker(k: int) -> None:
+    """Wedged-tunnel fallback: measure the native C++ host MSM
+    (halo2_tpu/native/pasta.cc via curves/host.py routing) — the
+    framework's own host compute layer, the analogue of the reference's
+    rayon best_multiexp. No jax involved."""
+    import math
+    import random
+
+    from halo2_tpu.curves.host import PALLAS
+
+    spec = PALLAS
+    rng = random.Random(7)
+    n = 1 << k
+    base = [spec.mul(spec.generator, i + 1) for i in range(256)]
+    pts = [base[i % 256] for i in range(n)]
+    scalars = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
+    spec.msm(scalars[:512], pts[:512])  # warm (compiles libpasta.so)
+    iters = int(os.environ.get("HALO2_TPU_BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    outs = [spec.msm(scalars, pts) for _ in range(iters)]
+    dt = (time.perf_counter() - t0) / iters
+    assert all(o == outs[0] for o in outs)
+    RUST_ADD_S = 0.5e-6
+    c = max(3, int(math.ceil(math.log(n))))
+    windows = 256 // c + 1
+    ref_adds = windows * (n + 2 * (1 << c)) + 256
+    cpu_points_per_s = n / (ref_adds * RUST_ADD_S)
+    print(json.dumps({
+        "metric": f"msm_host_native_k{k}_points_per_s",
+        "value": round(n / dt, 2),
+        "unit": "points/s",
+        "vs_baseline": round((n / dt) / cpu_points_per_s, 4),
+    }), flush=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--native-worker":
+        native_worker(int(sys.argv[2]))
         return
 
     k = int(os.environ.get("HALO2_TPU_BENCH_K", "16"))
     timeout = int(os.environ.get("HALO2_TPU_BENCH_TIMEOUT", "1200"))
     attempts = [(k, None), (k, None), (max(k - 2, 8), None), (9, "cpu")]
+    # The tunnel to the attached chip can wedge hard (jax.devices()
+    # never returns). Probe it once with a short budget; if it is down,
+    # skip straight to the CPU attempt instead of burning 3 timeouts.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("HALO2_TPU_PROBE_TIMEOUT", "120")),
+            check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        # Chip unreachable: measure the native C++ host MSM instead of
+        # the (interpret-mode, uselessly slow) CPU run of the device
+        # kernels.
+        attempts = [(k, "native"), (11, "native"), (9, "cpu")]
     for kk, platform in attempts:
         env = dict(os.environ)
-        if platform:
+        mode = "--worker"
+        if platform == "native":
+            mode = "--native-worker"
+        elif platform:
             env["JAX_PLATFORMS"] = platform
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
+                [sys.executable, os.path.abspath(__file__), mode,
                  str(kk)],
                 env=env, capture_output=True, text=True, timeout=timeout)
         except subprocess.TimeoutExpired:

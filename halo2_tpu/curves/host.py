@@ -193,8 +193,20 @@ class CurveSpec:
     def msm(self, scalars: list[int], points: list[Point]) -> Point:
         """Pippenger bucket MSM over Jacobian accumulators with mixed
         (affine-point) bucket adds; exact same result as the naive sum
-        (group ops are exact, any schedule matches bit-for-bit)."""
+        (group ops are exact, any schedule matches bit-for-bit).
+
+        Routes through the native C++ library (curves/native.py) when
+        available — the reference's compute layer is native Rust, and
+        host-side group algebra (keygen commits, verifier final MSM)
+        deserves the same; set HALO2_TPU_NO_NATIVE=1 to force the
+        pure-Python path (the behavior oracle)."""
         import math
+        import os
+        if len(points) > 8 and not os.environ.get("HALO2_TPU_NO_NATIVE"):
+            from .native import native_msm
+            res = native_msm(self, scalars, points)
+            if res is not False:
+                return res
         pairs = [(s % self.scalar.modulus, pt)
                  for s, pt in zip(scalars, points)
                  if pt is not None and s % self.scalar.modulus != 0]

@@ -1,0 +1,242 @@
+"""ctypes bindings for the native host curve library (native/pasta.cc).
+
+Lazily compiles libpasta.so with g++ on first use (no pybind11; plain C
+ABI). All inputs/outputs are RAW (non-Montgomery) little-endian 4x64
+values; the library converts to Montgomery internally. Falls back
+cleanly (HAS_NATIVE=False) if no compiler is available so the pure-
+Python Jacobian path in curves/host.py remains the behavior oracle.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "..", "native", "pasta.cc")
+_SO = os.path.join(_DIR, "..", "native", "libpasta.so")
+
+_lib = None
+_configured: set = set()
+HAS_NATIVE = None  # resolved on first _load()
+
+
+def _load():
+    global _lib, HAS_NATIVE
+    if HAS_NATIVE is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                     "-fPIC", "-o", _SO, _SRC],
+                    check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # conservative fallback flags
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        HAS_NATIVE = False
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pasta_set_field.argtypes = [ctypes.c_int, u64p, ctypes.c_uint64,
+                                    u64p, u64p]
+    lib.pasta_msm.argtypes = [ctypes.c_int, u64p, u64p, u64p, u8p,
+                              ctypes.c_size_t, u64p, u64p, u8p]
+    lib.pasta_collapse.argtypes = [ctypes.c_int, u64p, u64p, u64p, u8p,
+                                   u64p, u64p, u8p, ctypes.c_size_t,
+                                   u64p, u64p, u8p]
+    lib.pasta_ipa_begin.argtypes = [ctypes.c_int, ctypes.c_int, u64p, u64p,
+                                    u64p, u64p, u8p, ctypes.c_size_t]
+    lib.pasta_ipa_round.argtypes = [u64p, u64p, u8p, u64p, u64p, u8p,
+                                    u64p, u64p]
+    lib.pasta_ipa_fold.argtypes = [u64p, u64p]
+    lib.pasta_ipa_final.argtypes = [u64p]
+    _lib = lib
+    HAS_NATIVE = True
+    return lib
+
+
+def _limbs(v: int) -> np.ndarray:
+    return np.frombuffer(int(v).to_bytes(32, "little"), dtype=np.uint64)
+
+
+def _unlimbs(a: np.ndarray) -> int:
+    return int.from_bytes(a.tobytes(), "little")
+
+
+_FIELD_IDX = {"pallas": 0, "vesta": 1}
+
+
+def _ensure_field(spec) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    idx = _FIELD_IDX.get(spec.name)
+    if idx is None:
+        return None
+    if idx not in _configured:
+        p = spec.base.modulus
+        inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+        r2 = pow(2, 512, p)
+        one = pow(2, 256, p)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.pasta_set_field(
+            idx, _limbs(p).ctypes.data_as(u64p), inv,
+            _limbs(r2).ctypes.data_as(u64p),
+            _limbs(one).ctypes.data_as(u64p))
+        _configured.add(idx)
+    return idx
+
+
+def _pack_points(points) -> tuple:
+    n = len(points)
+    xs = np.zeros((n, 4), dtype=np.uint64)
+    ys = np.zeros((n, 4), dtype=np.uint64)
+    infs = np.zeros(n, dtype=np.uint8)
+    for i, pt in enumerate(points):
+        if pt is None:
+            infs[i] = 1
+        else:
+            xs[i] = _limbs(pt[0])
+            ys[i] = _limbs(pt[1])
+    return xs, ys, infs
+
+
+def native_msm(spec, scalars, points):
+    """Pippenger MSM via the native library; None if unavailable."""
+    idx = _ensure_field(spec)
+    if idx is None:
+        return False  # sentinel: caller falls back
+    lib = _lib
+    q = spec.scalar.modulus
+    n = len(points)
+    sc = np.zeros((n, 4), dtype=np.uint64)
+    for i, s in enumerate(scalars):
+        sc[i] = _limbs(s % q)
+    xs, ys, infs = _pack_points(points)
+    out_x = np.zeros(4, dtype=np.uint64)
+    out_y = np.zeros(4, dtype=np.uint64)
+    out_inf = np.zeros(1, dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pasta_msm(idx, sc.ctypes.data_as(u64p), xs.ctypes.data_as(u64p),
+                  ys.ctypes.data_as(u64p), infs.ctypes.data_as(u8p), n,
+                  out_x.ctypes.data_as(u64p), out_y.ctypes.data_as(u64p),
+                  out_inf.ctypes.data_as(u8p))
+    if out_inf[0]:
+        return None
+    return (_unlimbs(out_x), _unlimbs(out_y))
+
+
+def dev_mont_to_u64(limbs16: np.ndarray) -> np.ndarray:
+    """Device-layout Montgomery array (n, 16) uint32 of LE 16-bit digits
+    -> (n, 4) uint64 LE limbs. Pure numpy repack — the device's
+    R = 2^256 equals this library's, so values stay in Montgomery form."""
+    a = np.ascontiguousarray(limbs16.astype(np.uint16))
+    return a.view(np.uint64).reshape(limbs16.shape[0], 4)
+
+
+def u64_to_dev_mont(limbs4: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 LE -> device (n, 16) uint32 of 16-bit digits."""
+    a = np.ascontiguousarray(limbs4, dtype=np.uint64)
+    return a.view(np.uint16).astype(np.uint32).reshape(limbs4.shape[0], 16)
+
+
+class NativeIpaSession:
+    """The IPA tail: p'/b/G' handed over once (Montgomery numpy arrays
+    straight off the device), then per-round cross terms + folds run
+    natively with only transcript scalars crossing the boundary
+    (commitment/prover.rs:100-142)."""
+
+    def __init__(self, spec, p_mont16: np.ndarray, b_mont16: np.ndarray,
+                 gx_mont16: np.ndarray, gy_mont16: np.ndarray,
+                 g_inf: np.ndarray):
+        self.spec = spec
+        base_idx = _ensure_field(spec)
+        assert base_idx is not None
+        from .host import PALLAS, VESTA
+        other = VESTA if spec.name == "pallas" else PALLAS
+        scalar_idx = _ensure_field(other)  # scalar field = other's base
+        assert scalar_idx is not None
+        lib = _lib
+        n = p_mont16.shape[0]
+        self._p = np.ascontiguousarray(dev_mont_to_u64(p_mont16))
+        self._b = np.ascontiguousarray(dev_mont_to_u64(b_mont16))
+        self._gx = np.ascontiguousarray(dev_mont_to_u64(gx_mont16))
+        self._gy = np.ascontiguousarray(dev_mont_to_u64(gy_mont16))
+        self._ginf = np.ascontiguousarray(g_inf, dtype=np.uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pasta_ipa_begin(base_idx, scalar_idx,
+                            self._p.ctypes.data_as(u64p),
+                            self._b.ctypes.data_as(u64p),
+                            self._gx.ctypes.data_as(u64p),
+                            self._gy.ctypes.data_as(u64p),
+                            self._ginf.ctypes.data_as(u8p), n)
+
+    def round(self):
+        """-> (L_point|None, R_point|None, value_l, value_r)."""
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lx = np.zeros(4, np.uint64); ly = np.zeros(4, np.uint64)
+        rx = np.zeros(4, np.uint64); ry = np.zeros(4, np.uint64)
+        vl = np.zeros(4, np.uint64); vr = np.zeros(4, np.uint64)
+        linf = np.zeros(1, np.uint8); rinf = np.zeros(1, np.uint8)
+        _lib.pasta_ipa_round(lx.ctypes.data_as(u64p), ly.ctypes.data_as(u64p),
+                             linf.ctypes.data_as(u8p),
+                             rx.ctypes.data_as(u64p), ry.ctypes.data_as(u64p),
+                             rinf.ctypes.data_as(u8p),
+                             vl.ctypes.data_as(u64p), vr.ctypes.data_as(u64p))
+        l_pt = None if linf[0] else (_unlimbs(lx), _unlimbs(ly))
+        r_pt = None if rinf[0] else (_unlimbs(rx), _unlimbs(ry))
+        return l_pt, r_pt, _unlimbs(vl), _unlimbs(vr)
+
+    def fold(self, u: int, u_inv: int) -> None:
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        ua = _limbs(u % self.spec.scalar.modulus)
+        uia = _limbs(u_inv % self.spec.scalar.modulus)
+        _lib.pasta_ipa_fold(ua.ctypes.data_as(u64p),
+                            uia.ctypes.data_as(u64p))
+
+    def final_c(self) -> int:
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        c = np.zeros(4, np.uint64)
+        _lib.pasta_ipa_final(c.ctypes.data_as(u64p))
+        return _unlimbs(c)
+
+
+def native_collapse(spec, k: int, lo_points, hi_points):
+    """out[i] = lo[i] + [k] hi[i] for affine point lists (IPA G'
+    collapse); False if the native library is unavailable."""
+    idx = _ensure_field(spec)
+    if idx is None:
+        return False
+    lib = _lib
+    n = len(lo_points)
+    assert len(hi_points) == n
+    k_arr = _limbs(k % spec.scalar.modulus)
+    lx, ly, linf = _pack_points(lo_points)
+    hx, hy, hinf = _pack_points(hi_points)
+    out_x = np.zeros((n, 4), dtype=np.uint64)
+    out_y = np.zeros((n, 4), dtype=np.uint64)
+    out_inf = np.zeros(n, dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pasta_collapse(idx, k_arr.ctypes.data_as(u64p),
+                       lx.ctypes.data_as(u64p), ly.ctypes.data_as(u64p),
+                       linf.ctypes.data_as(u8p),
+                       hx.ctypes.data_as(u64p), hy.ctypes.data_as(u64p),
+                       hinf.ctypes.data_as(u8p), n,
+                       out_x.ctypes.data_as(u64p),
+                       out_y.ctypes.data_as(u64p),
+                       out_inf.ctypes.data_as(u8p))
+    return [None if out_inf[i] else (_unlimbs(out_x[i]), _unlimbs(out_y[i]))
+            for i in range(n)]

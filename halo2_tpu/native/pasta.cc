@@ -1,0 +1,619 @@
+// Native host curve arithmetic for the Pallas/Vesta (pasta) curves.
+//
+// The reference implements its compute layer in native Rust
+// (pasta_curves + halo2's arithmetic.rs); this is the TPU framework's
+// native host-side analogue for the orchestration-path group ops that
+// do not belong on the accelerator: keygen commitments at small n, the
+// verifier's final MSM, IPA round collapses, SRS construction. The
+// device (Pallas-kernel) MSM in ops/msm_pallas.py remains the bulk
+// path. Exposed through a minimal C ABI consumed via ctypes
+// (curves/native.py) — no pybind11 dependency.
+//
+// Field arithmetic: 4x64-limb Montgomery (CIOS) with runtime-provided
+// constants (modulus, -p^-1 mod 2^64, R^2 mod p), so one compiled
+// object serves both base fields. Curve ops: Jacobian (a=0, per
+// pasta: y^2 = x^3 + 5), mixed addition for affine inputs, Pippenger
+// bucket MSM matching best_multiexp's window choice
+// (halo2_proofs/src/arithmetic.rs:143-180).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+struct Field {
+  u64 p[4];    // modulus, little-endian limbs
+  u64 inv;     // -p^{-1} mod 2^64
+  u64 r2[4];   // R^2 mod p  (R = 2^256)
+  u64 one[4];  // R mod p (Montgomery 1)
+};
+
+static Field FIELDS[2];  // 0: Pallas base (Fp), 1: Vesta base (Fq)
+
+typedef u64 fe[4];  // Montgomery-form field element
+
+static inline bool gte_p(const Field& f, const u64 a[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (a[i] > f.p[i]) return true;
+    if (a[i] < f.p[i]) return false;
+  }
+  return true;  // equal
+}
+
+static inline void sub_p(const Field& f, u64 a[4]) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a[i] - f.p[i] - borrow;
+    a[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+}
+
+static inline void fadd(const Field& f, const u64 a[4], const u64 b[4],
+                        u64 out[4]) {
+  u128 carry = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a[i] + b[i] + carry;
+    out[i] = (u64)s;
+    carry = s >> 64;
+  }
+  if (carry || gte_p(f, out)) sub_p(f, out);
+}
+
+static inline void fsub(const Field& f, const u64 a[4], const u64 b[4],
+                        u64 out[4]) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a[i] - b[i] - borrow;
+    out[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  if (borrow) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 s = (u128)out[i] + f.p[i] + carry;
+      out[i] = (u64)s;
+      carry = s >> 64;
+    }
+  }
+}
+
+// CIOS Montgomery multiplication.
+static inline void fmul(const Field& f, const u64 a[4], const u64 b[4],
+                        u64 out[4]) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 s = (u128)a[j] * b[i] + t[j] + carry;
+      t[j] = (u64)s;
+      carry = s >> 64;
+    }
+    u128 s = (u128)t[4] + carry;
+    t[4] = (u64)s;
+    t[5] = (u64)(s >> 64);
+
+    u64 m = t[0] * f.inv;
+    carry = ((u128)m * f.p[0] + t[0]) >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 s2 = (u128)m * f.p[j] + t[j] + carry;
+      t[j - 1] = (u64)s2;
+      carry = s2 >> 64;
+    }
+    s = (u128)t[4] + carry;
+    t[3] = (u64)s;
+    t[4] = t[5] + (u64)(s >> 64);
+    t[5] = 0;
+  }
+  out[0] = t[0]; out[1] = t[1]; out[2] = t[2]; out[3] = t[3];
+  if (t[4] || gte_p(f, out)) sub_p(f, out);
+}
+
+static inline void fsqr(const Field& f, const u64 a[4], u64 out[4]) {
+  fmul(f, a, a, out);
+}
+
+static inline bool fzero(const u64 a[4]) {
+  return (a[0] | a[1] | a[2] | a[3]) == 0;
+}
+
+static inline void fcopy(u64 dst[4], const u64 src[4]) {
+  memcpy(dst, src, 32);
+}
+
+static inline void to_mont(const Field& f, const u64 a[4], u64 out[4]) {
+  fmul(f, a, f.r2, out);
+}
+
+static inline void from_mont(const Field& f, const u64 a[4], u64 out[4]) {
+  u64 one_raw[4] = {1, 0, 0, 0};
+  fmul(f, a, one_raw, out);
+}
+
+// Fermat inversion a^(p-2); p provided at runtime so just square&mul.
+static void finv(const Field& f, const u64 a[4], u64 out[4]) {
+  u64 e[4];  // exponent p-2
+  const u64 two[4] = {2, 0, 0, 0};
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)f.p[i] - two[i] - borrow;
+    e[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  fe acc;
+  fcopy(acc, f.one);
+  for (int limb = 3; limb >= 0; --limb) {
+    for (int bit = 63; bit >= 0; --bit) {
+      fsqr(f, acc, acc);
+      if ((e[limb] >> bit) & 1) fmul(f, acc, a, acc);
+    }
+  }
+  fcopy(out, acc);
+}
+
+// ---- Jacobian point ops (curve y^2 = x^3 + b, a = 0) ----
+struct Jac {
+  fe X, Y, Z;  // Z == 0 -> identity
+};
+
+static void jdouble(const Field& f, const Jac& Pin, Jac& Rout) {
+  const Jac P = Pin;  // alias-safe
+  Jac R;
+  if (fzero(P.Z) || fzero(P.Y)) {
+    memset(&Rout, 0, sizeof(Rout));
+    return;
+  }
+  fe A, B, C, D, E, F2, t, t2;
+  fsqr(f, P.X, A);
+  fsqr(f, P.Y, B);
+  fsqr(f, B, C);
+  // D = 2((X+B)^2 - A - C)
+  fadd(f, P.X, B, t);
+  fsqr(f, t, t);
+  fsub(f, t, A, t);
+  fsub(f, t, C, t);
+  fadd(f, t, t, D);
+  // E = 3A
+  fadd(f, A, A, E);
+  fadd(f, E, A, E);
+  fsqr(f, E, F2);
+  // X3 = F - 2D
+  fsub(f, F2, D, t);
+  fsub(f, t, D, R.X);
+  // Y3 = E(D - X3) - 8C
+  fsub(f, D, R.X, t);
+  fmul(f, E, t, t);
+  fadd(f, C, C, t2);
+  fadd(f, t2, t2, t2);
+  fadd(f, t2, t2, t2);
+  fsub(f, t, t2, R.Y);
+  // Z3 = 2YZ
+  fmul(f, P.Y, P.Z, t);
+  fadd(f, t, t, R.Z);
+  Rout = R;
+}
+
+static void jadd(const Field& f, const Jac& Pin, const Jac& Qin, Jac& Rout) {
+  const Jac P = Pin, Q = Qin;  // alias-safe
+  Jac R;
+  if (fzero(P.Z)) { Rout = Q; return; }
+  if (fzero(Q.Z)) { Rout = P; return; }
+  fe Z1Z1, Z2Z2, U1, U2, S1, S2, H, r, HH, HHH, V, t;
+  fsqr(f, P.Z, Z1Z1);
+  fsqr(f, Q.Z, Z2Z2);
+  fmul(f, P.X, Z2Z2, U1);
+  fmul(f, Q.X, Z1Z1, U2);
+  fmul(f, P.Y, Q.Z, t);  fmul(f, t, Z2Z2, S1);
+  fmul(f, Q.Y, P.Z, t);  fmul(f, t, Z1Z1, S2);
+  fsub(f, U2, U1, H);
+  fsub(f, S2, S1, r);
+  if (fzero(H)) {
+    if (fzero(r)) { jdouble(f, P, Rout); return; }
+    memset(&Rout, 0, sizeof(Rout));
+    return;
+  }
+  fsqr(f, H, HH);
+  fmul(f, H, HH, HHH);
+  fmul(f, U1, HH, V);
+  fsqr(f, r, t);
+  fsub(f, t, HHH, t);
+  fsub(f, t, V, t);
+  fsub(f, t, V, R.X);
+  fsub(f, V, R.X, t);
+  fmul(f, r, t, t);
+  fe t2;
+  fmul(f, S1, HHH, t2);
+  fsub(f, t, t2, R.Y);
+  fmul(f, P.Z, Q.Z, t);
+  fmul(f, t, H, R.Z);
+  Rout = R;
+}
+
+// [k] P for a Jacobian point, k given as raw little-endian 4x64 limbs.
+static void jmul(const Field& f, const Jac& P, const u64 k4[4], Jac& out) {
+  Jac acc;
+  memset(&acc, 0, sizeof(acc));
+  int top = 255;
+  while (top >= 0 && !((k4[top / 64] >> (top % 64)) & 1)) --top;
+  for (int bit = top; bit >= 0; --bit) {
+    jdouble(f, acc, acc);
+    if ((k4[bit / 64] >> (bit % 64)) & 1) jadd(f, acc, P, acc);
+  }
+  out = acc;
+}
+
+// P (Jacobian) + (x2, y2) affine Montgomery, q_inf marks identity Q.
+static void jmixed(const Field& f, const Jac& Pin, const fe x2, const fe y2,
+                   bool q_inf, Jac& Rout) {
+  const Jac P = Pin;  // alias-safe
+  Jac R;
+  if (q_inf) { Rout = P; return; }
+  if (fzero(P.Z)) {
+    fcopy(Rout.X, x2); fcopy(Rout.Y, y2); fcopy(Rout.Z, f.one);
+    return;
+  }
+  fe Z1Z1, U2, S2, H, r, HH, HHH, V, t, t2;
+  fsqr(f, P.Z, Z1Z1);
+  fmul(f, x2, Z1Z1, U2);
+  fmul(f, y2, P.Z, t);  fmul(f, t, Z1Z1, S2);
+  fsub(f, U2, P.X, H);
+  fsub(f, S2, P.Y, r);
+  if (fzero(H)) {
+    if (fzero(r)) { jdouble(f, P, Rout); return; }
+    memset(&Rout, 0, sizeof(Rout));
+    return;
+  }
+  fsqr(f, H, HH);
+  fmul(f, H, HH, HHH);
+  fmul(f, P.X, HH, V);
+  fsqr(f, r, t);
+  fsub(f, t, HHH, t);
+  fsub(f, t, V, t);
+  fsub(f, t, V, R.X);
+  fsub(f, V, R.X, t);
+  fmul(f, r, t, t);
+  fmul(f, P.Y, HHH, t2);
+  fsub(f, t, t2, R.Y);
+  fmul(f, P.Z, H, R.Z);
+  Rout = R;
+}
+
+// Pippenger window width for n points (best_multiexp, arithmetic.rs:146-152).
+static size_t msm_window(size_t n) {
+  if (n < 4) return 1;
+  if (n < 32) return 3;
+  double ln = 0.0;
+  for (size_t m = n; m > 1; m >>= 1) ln += 0.6931471805599453;
+  size_t c = (size_t)(ln + 0.9999);
+  if (c < 3) c = 3;
+  if (c > 16) c = 16;
+  return c;
+}
+
+// Pippenger MSM over Jacobian points with raw-LE scalars. Windows are
+// independent, so they run on the OpenMP pool (the reference runs one
+// rayon task per window, arithmetic.rs:156-167) and combine serially
+// with c doublings between windows.
+static void msm_jac(const Field& f, const u64* scalars, const Jac* pts,
+                    size_t n, Jac& out) {
+  size_t c = msm_window(n);
+  size_t windows = 256 / c + 1;
+  std::vector<Jac> winsums(windows);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (size_t w = 0; w < windows; ++w) {
+    std::vector<Jac> buckets((size_t(1) << c) - 1);
+    for (auto& b : buckets) memset(&b, 0, sizeof(b));
+    size_t shift = c * w;
+    size_t limb = shift / 64, off = shift % 64;
+    if (limb >= 4) {
+      memset(&winsums[w], 0, sizeof(Jac));
+      continue;
+    }
+    for (size_t i = 0; i < n; ++i) {
+      u64 digit = scalars[4 * i + limb] >> off;
+      if (off + c > 64 && limb + 1 < 4)
+        digit |= scalars[4 * i + limb + 1] << (64 - off);
+      digit &= (u64(1) << c) - 1;
+      if (digit) jadd(f, buckets[digit - 1], pts[i], buckets[digit - 1]);
+    }
+    Jac running, winsum;
+    memset(&running, 0, sizeof(running));
+    memset(&winsum, 0, sizeof(winsum));
+    for (size_t b = buckets.size(); b-- > 0;) {
+      jadd(f, running, buckets[b], running);
+      jadd(f, winsum, running, winsum);
+    }
+    winsums[w] = winsum;
+  }
+  Jac acc;
+  memset(&acc, 0, sizeof(acc));
+  for (size_t w = windows; w-- > 0;) {
+    if (w != windows - 1)
+      for (size_t d = 0; d < c; ++d) jdouble(f, acc, acc);
+    jadd(f, acc, winsums[w], acc);
+  }
+  out = acc;
+}
+
+// Normalize one Jacobian point to raw affine output (+ inf flag).
+static void jac_to_raw_affine(const Field& f, const Jac& P, u64 out_x[4],
+                              u64 out_y[4], uint8_t* out_inf) {
+  if (fzero(P.Z)) {
+    *out_inf = 1;
+    memset(out_x, 0, 32);
+    memset(out_y, 0, 32);
+    return;
+  }
+  *out_inf = 0;
+  fe zinv, zinv2, t;
+  finv(f, P.Z, zinv);
+  fsqr(f, zinv, zinv2);
+  fmul(f, P.X, zinv2, t);
+  from_mont(f, t, out_x);
+  fmul(f, zinv2, zinv, zinv2);
+  fmul(f, P.Y, zinv2, t);
+  from_mont(f, t, out_y);
+}
+
+// ---- IPA tail session --------------------------------------------------
+//
+// The prover's last IPA rounds (commitment/prover.rs:100-142) shrink by
+// half each round with a Fiat-Shamir transcript squeeze between rounds —
+// on the accelerator each tiny round costs a dispatch + tunnel readback,
+// so below a crossover the Python driver hands the whole remaining state
+// (p', b in the SCALAR field; G' on the curve over the BASE field) to
+// this session once and runs the rounds natively. Single session at a
+// time (the prover is sequential by Fiat-Shamir construction).
+
+static struct {
+  int bf;                    // base-field index (curve coordinates)
+  int sf;                    // scalar-field index (p', b)
+  size_t n;                  // current half-size boundary: vectors are n long
+  std::vector<u64> p, b;     // scalar-field Montgomery, 4 limbs each
+  std::vector<Jac> g;        // curve points, Jacobian Montgomery
+} IPA;
+
+extern "C" {
+
+// Initialize field `idx` (0 or 1) with raw little-endian limbs.
+void pasta_set_field(int idx, const u64 p[4], u64 inv, const u64 r2[4],
+                     const u64 one_mont[4]) {
+  Field& f = FIELDS[idx];
+  memcpy(f.p, p, 32);
+  f.inv = inv;
+  memcpy(f.r2, r2, 32);
+  memcpy(f.one, one_mont, 32);
+}
+
+// MSM: scalars raw LE 4x64 (reduced), points affine raw coordinates
+// (STANDARD form, converted to Montgomery internally); infs[i] nonzero
+// marks the identity. Result written as raw affine (x, y) + inf flag.
+// Window schedule mirrors best_multiexp (arithmetic.rs:143-180).
+void pasta_msm(int fidx, const u64* scalars, const u64* xs, const u64* ys,
+               const uint8_t* infs, size_t n, u64 out_x[4], u64 out_y[4],
+               uint8_t* out_inf) {
+  const Field& f = FIELDS[fidx];
+  // Montgomery-convert the points once.
+  std::vector<u64> mx(4 * n), my(4 * n);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; ++i) {
+    to_mont(f, xs + 4 * i, &mx[4 * i]);
+    to_mont(f, ys + 4 * i, &my[4 * i]);
+  }
+  size_t c = msm_window(n);
+  size_t windows = 256 / c + 1;
+  std::vector<Jac> winsums(windows);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (size_t w = 0; w < windows; ++w) {
+    std::vector<Jac> buckets((size_t(1) << c) - 1);
+    for (auto& b : buckets) memset(&b, 0, sizeof(b));
+    size_t shift = c * w;
+    size_t limb = shift / 64, off = shift % 64;
+    if (limb >= 4) {
+      memset(&winsums[w], 0, sizeof(Jac));
+      continue;
+    }
+    for (size_t i = 0; i < n; ++i) {
+      if (infs[i]) continue;
+      u64 digit = scalars[4 * i + limb] >> off;
+      if (off + c > 64 && limb + 1 < 4)
+        digit |= scalars[4 * i + limb + 1] << (64 - off);
+      digit &= (u64(1) << c) - 1;
+      if (digit)
+        jmixed(f, buckets[digit - 1], &mx[4 * i], &my[4 * i], false,
+               buckets[digit - 1]);
+    }
+    Jac running, winsum;
+    memset(&running, 0, sizeof(running));
+    memset(&winsum, 0, sizeof(winsum));
+    for (size_t b = buckets.size(); b-- > 0;) {
+      jadd(f, running, buckets[b], running);
+      jadd(f, winsum, running, winsum);
+    }
+    winsums[w] = winsum;
+  }
+  Jac acc;
+  memset(&acc, 0, sizeof(acc));
+  for (size_t w = windows; w-- > 0;) {
+    if (w != windows - 1)
+      for (size_t d = 0; d < c; ++d) jdouble(f, acc, acc);
+    jadd(f, acc, winsums[w], acc);
+  }
+  if (fzero(acc.Z)) {
+    *out_inf = 1;
+    memset(out_x, 0, 32);
+    memset(out_y, 0, 32);
+    return;
+  }
+  *out_inf = 0;
+  fe zinv, zinv2, t;
+  finv(f, acc.Z, zinv);
+  fsqr(f, zinv, zinv2);
+  fmul(f, acc.X, zinv2, t);
+  from_mont(f, t, out_x);
+  fmul(f, zinv2, zinv, zinv2);
+  fmul(f, acc.Y, zinv2, t);
+  from_mont(f, t, out_y);
+}
+
+// Batch scalar-mul-and-add: out[i] = lo[i] + [k] hi[i], all affine raw;
+// the IPA G' collapse (poly/commitment.rs::parallel_generator_collapse
+// analogue). One shared batch inversion at the end.
+void pasta_collapse(int fidx, const u64* k4, const u64* lo_x,
+                    const u64* lo_y, const uint8_t* lo_inf, const u64* hi_x,
+                    const u64* hi_y, const uint8_t* hi_inf, size_t n,
+                    u64* out_x, u64* out_y, uint8_t* out_inf) {
+  const Field& f = FIELDS[fidx];
+  std::vector<Jac> res(n);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; ++i) {
+    Jac acc;
+    memset(&acc, 0, sizeof(acc));
+    if (!hi_inf[i]) {
+      fe hx, hy;
+      to_mont(f, hi_x + 4 * i, hx);
+      to_mont(f, hi_y + 4 * i, hy);
+      Jac base;
+      fcopy(base.X, hx); fcopy(base.Y, hy); fcopy(base.Z, f.one);
+      // double-and-add over k (raw LE limbs)
+      for (int limb = 3; limb >= 0; --limb) {
+        for (int bit = 63; bit >= 0; --bit) {
+          jdouble(f, acc, acc);
+          if ((k4[limb] >> bit) & 1) jadd(f, acc, base, acc);
+        }
+      }
+    }
+    if (!lo_inf[i]) {
+      fe lx, ly;
+      to_mont(f, lo_x + 4 * i, lx);
+      to_mont(f, lo_y + 4 * i, ly);
+      jmixed(f, acc, lx, ly, false, acc);
+    }
+    res[i] = acc;
+  }
+  // batch normalize (Montgomery trick)
+  std::vector<u64> prefix(4 * (n + 1));
+  fcopy(&prefix[0], f.one);
+  for (size_t i = 0; i < n; ++i) {
+    if (fzero(res[i].Z))
+      fcopy(&prefix[4 * (i + 1)], &prefix[4 * i]);
+    else
+      fmul(f, &prefix[4 * i], res[i].Z, &prefix[4 * (i + 1)]);
+  }
+  fe inv;
+  finv(f, &prefix[4 * n], inv);
+  for (size_t i = n; i-- > 0;) {
+    if (fzero(res[i].Z)) {
+      out_inf[i] = 1;
+      memset(out_x + 4 * i, 0, 32);
+      memset(out_y + 4 * i, 0, 32);
+      continue;
+    }
+    fe zinv, zinv2, t;
+    fmul(f, inv, &prefix[4 * i], zinv);
+    fmul(f, inv, res[i].Z, inv);
+    fsqr(f, zinv, zinv2);
+    fmul(f, res[i].X, zinv2, t);
+    from_mont(f, t, out_x + 4 * i);
+    fmul(f, zinv2, zinv, zinv2);
+    fmul(f, res[i].Y, zinv2, t);
+    from_mont(f, t, out_y + 4 * i);
+    out_inf[i] = 0;
+  }
+}
+
+// Begin an IPA tail session with n-element state. p/b are scalar-field
+// elements in MONTGOMERY form (4x64 LE — the device's R = 2^256 matches
+// this library's); gx/gy are base-field Montgomery affine coordinates
+// with g_inf marking identities.
+void pasta_ipa_begin(int base_fidx, int scalar_fidx, const u64* p_mont,
+                     const u64* b_mont, const u64* gx, const u64* gy,
+                     const uint8_t* g_inf, size_t n) {
+  IPA.bf = base_fidx;
+  IPA.sf = scalar_fidx;
+  IPA.n = n;
+  IPA.p.assign(p_mont, p_mont + 4 * n);
+  IPA.b.assign(b_mont, b_mont + 4 * n);
+  IPA.g.resize(n);
+  const Field& f = FIELDS[base_fidx];
+  for (size_t i = 0; i < n; ++i) {
+    if (g_inf[i]) {
+      memset(&IPA.g[i], 0, sizeof(Jac));
+    } else {
+      fcopy(IPA.g[i].X, gx + 4 * i);
+      fcopy(IPA.g[i].Y, gy + 4 * i);
+      fcopy(IPA.g[i].Z, f.one);
+    }
+  }
+}
+
+// One round's cross terms (commitment/prover.rs:100-123):
+//   L = MSM(p'[half:], G'[:half]),  R = MSM(p'[:half], G'[half:])
+//   value_l = <p'[half:], b[:half]>, value_r = <p'[:half], b[half:]>
+// Outputs raw (non-Montgomery): affine L/R + inf flags, scalar values.
+void pasta_ipa_round(u64 lx[4], u64 ly[4], uint8_t* linf, u64 rx[4],
+                     u64 ry[4], uint8_t* rinf, u64 vl[4], u64 vr[4]) {
+  const Field& bf = FIELDS[IPA.bf];
+  const Field& sf = FIELDS[IPA.sf];
+  size_t half = IPA.n / 2;
+  // raw scalars for digit extraction
+  std::vector<u64> raw(4 * half);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < half; ++i)
+    from_mont(sf, &IPA.p[4 * (half + i)], &raw[4 * i]);
+  Jac L;
+  msm_jac(bf, raw.data(), IPA.g.data(), half, L);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < half; ++i)
+    from_mont(sf, &IPA.p[4 * i], &raw[4 * i]);
+  Jac R;
+  msm_jac(bf, raw.data(), IPA.g.data() + half, half, R);
+  jac_to_raw_affine(bf, L, lx, ly, linf);
+  jac_to_raw_affine(bf, R, rx, ry, rinf);
+  fe accl, accr, t;
+  memset(accl, 0, 32);
+  memset(accr, 0, 32);
+  for (size_t i = 0; i < half; ++i) {
+    fmul(sf, &IPA.p[4 * (half + i)], &IPA.b[4 * i], t);
+    fadd(sf, accl, t, accl);
+    fmul(sf, &IPA.p[4 * i], &IPA.b[4 * (half + i)], t);
+    fadd(sf, accr, t, accr);
+  }
+  from_mont(sf, accl, vl);
+  from_mont(sf, accr, vr);
+}
+
+// Fold after the round challenge (commitment/prover.rs:125-142):
+//   p' = p'_lo + u^-1 p'_hi ; b = b_lo + u b_hi ; G' = G'_lo + [u] G'_hi
+// u / u_inv raw LE.
+void pasta_ipa_fold(const u64 u_raw[4], const u64 uinv_raw[4]) {
+  const Field& bf = FIELDS[IPA.bf];
+  const Field& sf = FIELDS[IPA.sf];
+  size_t half = IPA.n / 2;
+  fe u_m, uinv_m, t;
+  to_mont(sf, u_raw, u_m);
+  to_mont(sf, uinv_raw, uinv_m);
+#pragma omp parallel for schedule(static) private(t)
+  for (size_t i = 0; i < half; ++i) {
+    fmul(sf, &IPA.p[4 * (half + i)], uinv_m, t);
+    fadd(sf, &IPA.p[4 * i], t, &IPA.p[4 * i]);
+    fmul(sf, &IPA.b[4 * (half + i)], u_m, t);
+    fadd(sf, &IPA.b[4 * i], t, &IPA.b[4 * i]);
+  }
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < half; ++i) {
+    Jac hi_mul;
+    jmul(bf, IPA.g[half + i], u_raw, hi_mul);
+    jadd(bf, IPA.g[i], hi_mul, IPA.g[i]);
+  }
+  IPA.n = half;
+}
+
+// Final collapsed scalar c = p'[0], raw.
+void pasta_ipa_final(u64 c[4]) {
+  from_mont(FIELDS[IPA.sf], &IPA.p[0], c);
+}
+
+}  // extern "C"

@@ -353,20 +353,34 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     g_prime = JPoint(params.g_dev.x, params.g_dev.y, params.g_dev.z)
 
     prof.lap("ipa P' setup")
+    # Below this size the remaining rounds run entirely in the native
+    # host library — one device→host state handoff, then only
+    # transcript scalars cross the boundary per round. The device path
+    # above it keeps the large L/R MSMs on the accelerator.
+    native_threshold = int(os.environ.get(
+        "HALO2_TPU_NATIVE_IPA_THRESHOLD", "8192"))
+    sess = None
+    cur = params.curve
     for j in range(k):
         half = 1 << (k - j - 1)
-        l_j = msm_mont(dev, p_prime[half:], _slice_pts(g_prime, 0, half))
-        r_j = msm_mont(dev, p_prime[:half], _slice_pts(g_prime, half, 2 * half))
-        value_l = int(df.from_mont_np(np.asarray(
-            inner_product(df, p_prime[half:], b[:half]))))
-        value_r = int(df.from_mont_np(np.asarray(
-            inner_product(df, p_prime[:half], b[half:]))))
+        if (sess is None and half <= native_threshold
+                and not os.environ.get("HALO2_TPU_NO_NATIVE")):
+            sess = _start_native_ipa(params, p_prime, b, g_prime)
+        if sess is not None:
+            l_pt, r_pt, value_l, value_r = sess.round()
+        else:
+            l_j = msm_mont(dev, p_prime[half:], _slice_pts(g_prime, 0, half))
+            r_j = msm_mont(dev, p_prime[:half],
+                           _slice_pts(g_prime, half, 2 * half))
+            value_l = int(df.from_mont_np(np.asarray(
+                inner_product(df, p_prime[half:], b[:half]))))
+            value_r = int(df.from_mont_np(np.asarray(
+                inner_product(df, p_prime[:half], b[half:]))))
+            l_pt = dev.points_from_device(normalize(dev, l_j))[0]
+            r_pt = dev.points_from_device(normalize(dev, r_j))[0]
         l_rand = fs.rand(rng)
         r_rand = fs.rand(rng)
         # L_j += [v_l z] U + [l_rand] W  (host: 2-term multiexp)
-        cur = params.curve
-        l_pt = dev.points_from_device(normalize(dev, l_j))[0]
-        r_pt = dev.points_from_device(normalize(dev, r_j))[0]
         l_pt = cur.add(l_pt, cur.add(cur.mul(params.u, value_l * z % fs.modulus),
                                      cur.mul(params.w, l_rand)))
         r_pt = cur.add(r_pt, cur.add(cur.mul(params.u, value_r * z % fs.modulus),
@@ -378,36 +392,60 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         u_j = transcript.squeeze_challenge()
         u_j_inv = fs.inv(u_j)
 
-        uj_m = df.scalar(u_j)
-        ujinv_m = df.scalar(u_j_inv)
-        p_prime = fadd(df, p_prime[:half],
-                       fmul(df, p_prime[half:],
-                            jnp.broadcast_to(ujinv_m, (half, NLIMBS))))
-        b = fadd(df, b[:half],
-                 fmul(df, b[half:], jnp.broadcast_to(uj_m, (half, NLIMBS))))
-        # G' collapse: g_lo + [u_j] g_hi (prover.rs:154-166)
-        from ..ops.msm import HOST_MSM_THRESHOLD
-        if half <= HOST_MSM_THRESHOLD:
-            cur = params.curve
-            lo = dev.points_from_device(_slice_pts(g_prime, 0, half))
-            hi = dev.points_from_device(_slice_pts(g_prime, half, 2 * half))
-            jac = [cur._jmixed(cur._jmul(h, u_j), l) if l is not None
-                   else cur._jmul(h, u_j)
-                   for l, h in zip(lo, hi)]
-            g_prime = dev.points_to_device(cur._jbatch_normalize(jac))
+        if sess is not None:
+            sess.fold(u_j, u_j_inv)
         else:
-            dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
-                                   (half, 16))
-            hi_mul = batch_scalar_mul(dev,
-                                      _slice_pts(g_prime, half, 2 * half),
-                                      dig, nbits=255)
-            g_prime = padd(dev, _slice_pts(g_prime, 0, half), hi_mul)
+            uj_m = df.scalar(u_j)
+            ujinv_m = df.scalar(u_j_inv)
+            p_prime = fadd(df, p_prime[:half],
+                           fmul(df, p_prime[half:],
+                                jnp.broadcast_to(ujinv_m, (half, NLIMBS))))
+            b = fadd(df, b[:half],
+                     fmul(df, b[half:], jnp.broadcast_to(uj_m, (half, NLIMBS))))
+            # G' collapse: g_lo + [u_j] g_hi (prover.rs:154-166)
+            from ..ops.msm import HOST_MSM_THRESHOLD
+            if half <= HOST_MSM_THRESHOLD:
+                # exact-host oracle path (native unavailable / disabled)
+                lo = dev.points_from_device(_slice_pts(g_prime, 0, half))
+                hi = dev.points_from_device(
+                    _slice_pts(g_prime, half, 2 * half))
+                jac = [cur._jmixed(cur._jmul(h, u_j), l) if l is not None
+                       else cur._jmul(h, u_j)
+                       for l, h in zip(lo, hi)]
+                g_prime = dev.points_to_device(cur._jbatch_normalize(jac))
+            else:
+                dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
+                                       (half, 16))
+                hi_mul = batch_scalar_mul(dev,
+                                          _slice_pts(g_prime, half, 2 * half),
+                                          dig, nbits=255)
+                g_prime = padd(dev, _slice_pts(g_prime, 0, half), hi_mul)
 
         f = (f + l_rand * u_j_inv + r_rand * u_j) % fs.modulus
 
-    c = int(df.from_mont_np(np.asarray(p_prime[0])))
+    if sess is not None:
+        c = sess.final_c()
+    else:
+        c = int(df.from_mont_np(np.asarray(p_prime[0])))
     transcript.write_scalar(c)
     transcript.write_scalar(f)
+
+
+def _start_native_ipa(params: Params, p_prime: jnp.ndarray, b: jnp.ndarray,
+                      g_prime: JPoint):
+    """Hand the IPA state to the native library (curves/native.py);
+    None if the native toolchain is unavailable. Arrays transfer in
+    Montgomery form — the device's R = 2^256 matches the library's."""
+    from ..curves import native
+    if native._load() is None:
+        return None
+    dev = params.dev
+    g_norm = normalize(dev, g_prime)  # affine with Z in {0, 1}
+    gz = np.asarray(g_norm.z)
+    g_inf = (gz == 0).all(axis=-1)
+    return native.NativeIpaSession(
+        params.curve, np.asarray(p_prime), np.asarray(b),
+        np.asarray(g_norm.x), np.asarray(g_norm.y), g_inf)
 
 
 def _slice_pts(pts: JPoint, lo: int, hi: int) -> JPoint:
