@@ -152,7 +152,29 @@ def _select(cond, a, b):
     return [jnp.where(c, x, y) for x, y in zip(a, b)]
 
 
+_FIELD_OP_JIT: dict = {}
+
+
+def _jitted_op(df: DeviceField, name: str, make):
+    """Per-(field, op) jitted wrapper. The limb ops expand to 30-500 XLA
+    primitives; executed eagerly each one dispatches its own tiny
+    executable (the prover spent more time in apply_primitive than in
+    math). jax.jit fuses them per input shape and reuses the compiled
+    kernel; nested under an outer trace it simply traces through."""
+    key = (name, id(df))
+    fn = _FIELD_OP_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(make(df))
+        _FIELD_OP_JIT[key] = fn
+    return fn
+
+
 def fadd(df: DeviceField, a, b):
+    return _jitted_op(df, "fadd",
+                      lambda d: lambda x, y: _fadd_impl(d, x, y))(a, b)
+
+
+def _fadd_impl(df: DeviceField, a, b):
     al, bl = _unstack(a), _unstack(b)
     s, carry = _add_raw(al, bl)
     pl = _const_limbs(df, s[0], df.p_limbs)
@@ -162,6 +184,11 @@ def fadd(df: DeviceField, a, b):
 
 
 def fsub(df: DeviceField, a, b):
+    return _jitted_op(df, "fsub",
+                      lambda d: lambda x, y: _fsub_impl(d, x, y))(a, b)
+
+
+def _fsub_impl(df: DeviceField, a, b):
     al, bl = _unstack(a), _unstack(b)
     d, borrow = _sub_raw(al, bl)
     pl = _const_limbs(df, d[0], df.p_limbs)
@@ -232,7 +259,8 @@ def _mont_mul(df: DeviceField, a, b):
 
 
 def fmul(df: DeviceField, a, b):
-    return _mont_mul(df, a, b)
+    return _jitted_op(df, "fmul",
+                      lambda d: lambda x, y: _mont_mul(d, x, y))(a, b)
 
 
 def fsquare(df: DeviceField, a):
@@ -258,7 +286,23 @@ def fpow(df: DeviceField, a, exponent: int):
 
 
 def finv(df: DeviceField, a):
-    """Fermat inversion a^(p-2); 0 -> 0."""
+    """Fermat inversion a^(p-2); 0 -> 0.
+
+    Concrete SCALAR inputs (a single [16] element outside any trace —
+    IPA b-vector bases, Kate divisors, domain constants) go through host
+    pow(): the eager 255-round device ladder costs seconds of dispatch
+    for one element that python computes in microseconds. Traced or
+    batched inputs keep the device ladder."""
+    if a.shape == (NLIMBS,) and not isinstance(a, jax.core.Tracer):
+        import numpy as np
+        p = df.spec.modulus
+        # mont(x)=xR; (xR)^-1 * R^2 = x^-1 R = mont(x^-1)
+        m = int.from_bytes(np.asarray(a).astype(np.uint16).tobytes(),
+                           "little")
+        if m == 0:
+            return jnp.zeros((NLIMBS,), dtype=U32)
+        inv = pow(m, -1, p) * pow(1 << 256, 2, p) % p
+        return jnp.asarray(int_to_limbs(inv))
     return fpow(df, a, df.spec.modulus - 2)
 
 
@@ -277,9 +321,41 @@ def fselect(cond, a, b):
     return jnp.where(cond[..., None], a, b)
 
 
+_SCAN_JIT: dict = {}
+
+
+def running_product(df: DeviceField, a, axis: int = 0,
+                    reverse: bool = False):
+    """Inclusive product scan (grand products; permutation/lookup z).
+    Jit-cached per (field, axis, reverse) so eager prover calls reuse
+    one traced graph per shape."""
+    key = ("prod", id(df), axis, reverse)
+    fn = _SCAN_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: jax.lax.associative_scan(
+            lambda u, v: fmul(df, u, v), x, axis=axis, reverse=reverse))
+        _SCAN_JIT[key] = fn
+    return fn(a)
+
+
+def running_sum(df: DeviceField, a, axis: int = 0, reverse: bool = False):
+    """Inclusive sum scan (Kate-division suffix sums), jit-cached like
+    running_product."""
+    key = ("sum", id(df), axis, reverse)
+    fn = _SCAN_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: jax.lax.associative_scan(
+            lambda u, v: fadd(df, u, v), x, axis=axis, reverse=reverse))
+        _SCAN_JIT[key] = fn
+    return fn(a)
+
+
 def batch_inv(df: DeviceField, a, axis: int = 0):
     """Batched inversion along `axis` via prefix/suffix product scans plus a
-    single Fermat inversion. Zeros map to zero.
+    single Fermat inversion. Zeros map to zero. The scans are jit-cached
+    (running_product); the Fermat pow stays eager — one element, and
+    inlining its 255-squaring graph into a jitted module is too large
+    for a single XLA:CPU compile.
 
     Replaces the serial Montgomery-trick loop of ff::BatchInvert (used by
     batch_invert_assigned, halo2_proofs/src/poly.rs:135-162) with two
@@ -289,10 +365,8 @@ def batch_inv(df: DeviceField, a, axis: int = 0):
     ones = jnp.broadcast_to(df.scalar(1), a.shape)
     clean = fselect(zero_mask, ones, a)
 
-    mulfn = lambda x, y: fmul(df, x, y)
-    prefix_inc = jax.lax.associative_scan(mulfn, clean, axis=axis)
-    suffix_inc = jax.lax.associative_scan(mulfn, clean, axis=axis,
-                                          reverse=True)
+    prefix_inc = running_product(df, clean, axis=axis)
+    suffix_inc = running_product(df, clean, axis=axis, reverse=True)
     # exclusive versions via shift
     def shift(x, rev):
         pad = jnp.broadcast_to(df.scalar(1), x.shape)

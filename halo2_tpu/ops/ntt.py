@@ -69,17 +69,49 @@ def make_plan(df: DeviceField, n: int, omega: int) -> NttPlan:
                    twiddles=tuple(twiddles), twiddle_exps=tuple(exps))
 
 
+_NTT_JIT: dict = {}       # (id(df), n) -> jitted stage program
+_PLAN_DEV: dict = {}      # id(plan) -> (plan, perm_dev, tuple(tw_dev))
+
+
+def _plan_dev(plan: NttPlan):
+    """Device-resident copies of a plan's perm + twiddles, uploaded once
+    (the eager path re-uploaded every stage of every call)."""
+    ent = _PLAN_DEV.get(id(plan))
+    if ent is None or ent[0] is not plan:
+        ent = (plan, jnp.asarray(plan.perm),
+               tuple(jnp.asarray(t) for t in plan.twiddles))
+        _PLAN_DEV[id(plan)] = ent
+    return ent[1], ent[2]
+
+
 def ntt(df: DeviceField, a: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
     """Forward NTT: a [n, 16] Montgomery coeffs -> evaluations at
-    {omega^i} in natural order."""
+    {omega^i} in natural order.
+
+    The full stage pipeline is one jitted program per (field, n);
+    twiddles/perm enter as arguments so the forward, inverse, and
+    coset-extended plans of equal size share a single compiled
+    executable."""
     n = plan.n
-    x = a[jnp.asarray(plan.perm)]
-    for s, tw in enumerate(plan.twiddles, start=1):
+    perm, tws = _plan_dev(plan)
+    key = (id(df), n)
+    fn = _NTT_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x, pm, *tw: _ntt_impl(df, x, pm, tw))
+        _NTT_JIT[key] = fn
+    return fn(a, perm, *tws)
+
+
+def _ntt_impl(df: DeviceField, x: jnp.ndarray, perm: jnp.ndarray,
+              tws) -> jnp.ndarray:
+    n = x.shape[0]
+    x = x[perm]
+    for s, tw in enumerate(tws, start=1):
         m = 1 << s
         half = m // 2
         xr = x.reshape(n // m, m, NLIMBS)
         lo, hi = xr[:, :half], xr[:, half:]
-        t = fmul(df, hi, jnp.asarray(tw)[None])
+        t = fmul(df, hi, tw[None])
         x = jnp.concatenate([fadd(df, lo, t), fsub(df, lo, t)],
                             axis=1).reshape(n, NLIMBS)
     return x

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields.device import (DeviceField, NLIMBS, fadd, fsub, fmul,
-                             batch_inv)
+                             batch_inv, running_product)
 from ..poly.utils import eval_poly
 from .circuit import LookupArgument, ConstraintSystem
 from .evaluation import evaluate_expression
@@ -186,8 +186,7 @@ def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
                         fadd(df, permuted.compressed_table, gamma_m)))
 
     # z[0] = 1, z[i] = prod_{j<i} product[j]; keep usable rows + blinding
-    incl = jax.lax.associative_scan(lambda a, b: fmul(df, a, b), product,
-                                    axis=0)
+    incl = running_product(df, product, axis=0)
     z = jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
     blinds = [fs.rand(rng) for _ in range(blinding_factors)]
     z = jnp.concatenate([

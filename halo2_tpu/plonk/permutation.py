@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields.device import (DeviceField, NLIMBS, fadd, fsub, fmul, fneg,
-                             batch_inv, fselect)
+                             batch_inv, fselect, running_product)
 from ..poly.utils import powers, eval_poly
 from ..poly.domain import EvaluationDomain
 from .circuit import (ConstraintSystem, Column, PermutationArgument,
@@ -190,8 +190,7 @@ def permutation_commit(cs: ConstraintSystem, params, domain,
             global_col += 1
 
         # z[0] = last_z; z[i] = last_z * prod_{j<i} modified[j]
-        incl = jax.lax.associative_scan(lambda a, b: fmul(df, a, b),
-                                        modified, axis=0)
+        incl = running_product(df, modified, axis=0)
         lastz_m = df.scalar(last_z)
         z = jnp.concatenate([
             jnp.broadcast_to(lastz_m, (1, NLIMBS)),

@@ -8,13 +8,45 @@ import jax
 import jax.numpy as jnp
 
 from ..fields.device import (DeviceField, NLIMBS, fadd, fsub, fmul, finv,
-                             fselect)
+                             fselect, running_sum)
+
+
+_POWERS_CACHE: dict = {}  # (modulus, x, n) -> device array; domain
+# omega/delta power tables recur across keygen + every proof.
 
 
 def powers(df: DeviceField, x_mont: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[1, x, x^2, ..., x^{n-1}] as [n, 16] mont, via inclusive scan."""
+    """[1, x, x^2, ..., x^{n-1}] as [n, 16] mont, via inclusive scan.
+
+    Concrete (non-traced) inputs take a host bigint recurrence instead:
+    eager callers (keygen σ tables, prover b-vector setup) hit this with
+    a known scalar, where tracing + compiling the scan graph costs tens
+    of seconds against milliseconds of host math. Inside jit the scan
+    path is traced into the caller's graph as before."""
     if n == 1:
         return df.ones((1,))
+    if not isinstance(x_mont, jax.core.Tracer):
+        import numpy as np
+        p = df.spec.modulus
+        rinv = pow(1 << 256, -1, p)
+        x = int.from_bytes(
+            np.asarray(x_mont).astype(np.uint16).tobytes(), "little"
+        ) * rinv % p
+        key = (p, x, n)
+        hit = _POWERS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        buf = bytearray(32 * n)
+        acc = (1 << 256) % p  # Montgomery 1; recurrence stays in mont form
+        for i in range(n):
+            buf[32 * i:32 * (i + 1)] = acc.to_bytes(32, "little")
+            acc = acc * x % p
+        limbs = np.frombuffer(bytes(buf), dtype=np.uint16).reshape(n, 16)
+        out = jnp.asarray(limbs.astype(np.uint32))
+        if len(_POWERS_CACHE) >= 16:
+            _POWERS_CACHE.pop(next(iter(_POWERS_CACHE)))
+        _POWERS_CACHE[key] = out
+        return out
     xs = jnp.broadcast_to(x_mont, (n, NLIMBS))
     xs = jnp.concatenate([df.ones((1,)), xs[1:]], axis=0)
     return jax.lax.associative_scan(lambda a, b: fmul(df, a, b), xs, axis=0)
@@ -60,7 +92,6 @@ def batch_eval_polys(df: DeviceField, pairs) -> list[int]:
     device dispatch + readback. The prover's eval phases issue dozens of
     scalar opens between the x and x1 squeezes; dispatching each alone
     is pure round-trip latency on a tunneled device."""
-    import jax
     import numpy as np
     if not pairs:
         return []
@@ -69,8 +100,15 @@ def batch_eval_polys(df: DeviceField, pairs) -> list[int]:
         p if p.shape[0] == n else jnp.concatenate(
             [p, jnp.zeros((n - p.shape[0],) + p.shape[1:], p.dtype)])
         for p, _ in pairs])
-    pts = jnp.stack([df.scalar(pt) for _, pt in pairs])
-    vals = jax.vmap(lambda c, x: eval_poly(df, c, x))(polys, pts)
+    # Powers tables host-built once per DISTINCT point (they hit the
+    # concrete fast path in powers()), then indexed on device — this
+    # replaces a vmapped Horner scan whose graph was compile-bound and
+    # keeps device work to one already-compiled fmul + tree_add.
+    uniq = list(dict.fromkeys(pt for _, pt in pairs))
+    pw_stack = jnp.stack([powers(df, df.scalar(pt), n) for pt in uniq])
+    lookup = {pt: i for i, pt in enumerate(uniq)}
+    gidx = jnp.asarray([lookup[pt] for _, pt in pairs], dtype=jnp.int32)
+    vals = tree_add(df, fmul(df, polys, pw_stack[gidx]), axis=1)
     return [int(v) for v in df.from_mont_np(np.asarray(vals))]
 
 
@@ -117,8 +155,7 @@ def kate_division(df: DeviceField, coeffs: jnp.ndarray, b_mont: jnp.ndarray
     n = coeffs.shape[0]
     pw = powers(df, b_mont, n)                      # b^j
     u = fmul(df, coeffs, pw)                        # a_j b^j
-    suf = jax.lax.associative_scan(lambda x, y: fadd(df, x, y), u,
-                                   axis=0, reverse=True)
+    suf = running_sum(df, u, axis=0, reverse=True)
     # T_i = sum_{j >= i+1} a_j b^j  (shift the inclusive suffix left by one)
     t = jnp.concatenate([suf[1:], df.zeros((1,))], axis=0)
     binv = finv(df, b_mont)
