@@ -186,6 +186,41 @@ def msm_pallas_path(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
     return _proj_point_to_jpoint(cv, res)
 
 
+# Eagerly-dispatched MSMs (the interactive prover/verifier path): the
+# whole device program — optional mont->canonical conversion, pow2
+# padding, projective conversion, Pippenger window sums — runs as ONE
+# jitted dispatch per (curve, n) instead of ~100 eager op round-trips
+# (each ~40 ms on a tunneled device).  The host then reads back the
+# [48, W] window sums and Horner-combines (tiny serial group math).
+_EAGER_WSUMS_JIT: dict = {}
+
+
+def _msm_eager(cv: DeviceCurve, scalars: jnp.ndarray, pts: JPoint,
+               is_mont: bool) -> JPoint:
+    from . import msm_pallas as mp
+    from .pallas_point import _interpret_default
+    n = scalars.shape[0]
+    padded_n = max(8, 1 << (n - 1).bit_length())
+    c = mp.pick_c(padded_n)
+    interpret = _interpret_default()
+    key = (id(cv), n, c, is_mont, interpret)
+    fn = _EAGER_WSUMS_JIT.get(key)
+    if fn is None:
+        def impl(s, x, y, z):
+            d16 = from_mont(cv.scalar, s) if is_mont else s
+            d16, p = _pad_pow2(cv, d16, JPoint(x, y, z))
+            proj = _jpoint_to_proj(cv, p)
+            w, _ = mp.msm_pallas_window_sums(cv.spec, cv.base, d16, proj,
+                                             c, interpret=interpret)
+            return w
+        fn = jax.jit(impl)
+        _EAGER_WSUMS_JIT[key] = fn
+    wsums = fn(scalars, pts.x, pts.y, pts.z)
+    window_pts = mp.points_from_proj(cv.spec, cv.base, wsums)
+    res = mp.host_horner_combine(cv.spec, window_pts, c)
+    return _proj_point_to_jpoint(cv, res)
+
+
 # Use the Pallas Pippenger for device MSMs above this size (set to a huge
 # value to fall back to the round-1 scan/ladder paths).
 PALLAS_MSM_THRESHOLD = int(_os.environ.get(
@@ -198,6 +233,8 @@ def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
     concrete = _is_concrete(scalar_digits16, pts.x, pts.y, pts.z)
     if scalar_digits16.shape[0] <= HOST_MSM_THRESHOLD and concrete:
         return _msm_host(cv, scalar_digits16, pts)
+    if concrete and scalar_digits16.shape[0] > PALLAS_MSM_THRESHOLD:
+        return _msm_eager(cv, scalar_digits16, pts, is_mont=False)
     scalar_digits16, pts = _pad_pow2(cv, scalar_digits16, pts)
     if scalar_digits16.shape[0] > PALLAS_MSM_THRESHOLD:
         return msm_pallas_path(cv, scalar_digits16, pts,
@@ -225,4 +262,8 @@ def scalars_to_digits(df: DeviceField, scalars_mont: jnp.ndarray) -> jnp.ndarray
 def msm_mont(cv: DeviceCurve, scalars_mont: jnp.ndarray, pts: JPoint) -> JPoint:
     """MSM taking Montgomery-form scalars (the common case: polynomial
     coefficients live in Montgomery form on device)."""
+    if (_is_concrete(scalars_mont, pts.x, pts.y, pts.z)
+            and scalars_mont.shape[0] > max(HOST_MSM_THRESHOLD,
+                                            PALLAS_MSM_THRESHOLD)):
+        return _msm_eager(cv, scalars_mont, pts, is_mont=True)
     return msm(cv, scalars_to_digits(cv.scalar, scalars_mont), pts)

@@ -92,14 +92,34 @@ def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
 
     pts: [48, n] projective batch; digits16: [n, 16] canonical scalars.
     """
-    n = digits16.shape[0]
+    out, c = msm_pallas_window_sums_many(
+        cv_spec, df, digits16[None], pts, c, interpret=interpret)
+    return out[0], c
+
+
+def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
+                                digits16: jnp.ndarray, pts: jnp.ndarray,
+                                c: int | None = None,
+                                interpret: bool | None = None):
+    """m MSMs over SHARED bases in one device program: returns
+    ([m, 48, W] window sums, c).
+
+    pts: [48, n] projective batch; digits16: [m, n, 16] canonical
+    scalars. The m·W (scalar-set, window) problems are independent and
+    simply widen the lane axis of every masked-add round — the round
+    count stays ≈ n/B + slack, so committing a whole phase's columns
+    costs barely more wall-clock than one column (this is how prover
+    phases with many columns become a single dispatch)."""
+    m, n = digits16.shape[0], digits16.shape[1]
     if c is None:
         c = pick_c(n)
     B = 1 << c
     W = -(-256 // c)
+    G = m * W  # independent (scalar-set, window) rows
 
-    d = window_digits(digits16, c)                       # [W, n]
-    order = jnp.argsort(d, axis=1).astype(jnp.int32)     # [W, n]
+    d = jnp.concatenate([window_digits(digits16[j], c)
+                         for j in range(m)], axis=0)     # [G, n]
+    order = jnp.argsort(d, axis=1).astype(jnp.int32)     # [G, n]
     ds = jnp.take_along_axis(d, order, axis=1)           # sorted digits
 
     buckets = jnp.arange(B, dtype=jnp.uint32)
@@ -107,13 +127,13 @@ def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
         lambda row: jnp.searchsorted(row, buckets, side="left"))(ds)
     ends = jax.vmap(
         lambda row: jnp.searchsorted(row, buckets, side="right"))(ds)
-    counts = (ends - starts).astype(jnp.int32)           # [W, B]
+    counts = (ends - starts).astype(jnp.int32)           # [G, B]
     # never loop for bucket-0 runs (digit 0 contributes nothing)
     eff_counts = counts.at[:, 0].set(0)
     maxc = jnp.max(eff_counts)
 
     ident_col = _ident_col_j(df.spec.modulus)
-    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, W * B))
+    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, G * B))
 
     starts_i = starts.astype(jnp.int32)
 
@@ -123,10 +143,10 @@ def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
 
     def body(state):
         r, acc = state
-        idx = jnp.minimum(starts_i + r, n - 1)           # [W, B]
-        valid = (r < eff_counts).reshape(-1)             # [W*B]
-        gidx = jnp.take_along_axis(order, idx, axis=1)   # [W, B]
-        P = jnp.take(pts, gidx.reshape(-1), axis=1)      # [48, W*B]
+        idx = jnp.minimum(starts_i + r, n - 1)           # [G, B]
+        valid = (r < eff_counts).reshape(-1)             # [G*B]
+        gidx = jnp.take_along_axis(order, idx, axis=1)   # [G, B]
+        P = jnp.take(pts, gidx.reshape(-1), axis=1)      # [48, G*B]
         acc = padd_masked_flat(df, acc, P,
                                valid.astype(jnp.uint32),
                                interpret=interpret)
@@ -143,9 +163,9 @@ def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
 
     def suffix_round(i, suf):
         s = jnp.int32(1) << i
-        suf3 = suf.reshape(3 * NLIMBS, W, B)
+        suf3 = suf.reshape(3 * NLIMBS, G, B)
         shifted = jnp.roll(suf3, -s, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx + s < B)[None, :], (W, B))
+        mask = jnp.broadcast_to((bidx + s < B)[None, :], (G, B))
         return padd_masked_flat(df, suf, shifted,
                                 mask.reshape(-1).astype(jnp.uint32),
                                 interpret=interpret)
@@ -154,25 +174,26 @@ def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
     suf = jax.lax.fori_loop(0, logb, suffix_round, acc)
 
     # drop bucket 0 (its suffix is the full per-window total, not b·S_b)
-    suf3 = suf.reshape(3 * NLIMBS, W, B)
+    suf3 = suf.reshape(3 * NLIMBS, G, B)
     ident_w = jnp.broadcast_to(ident_col[:, None, None],
-                               (3 * NLIMBS, W, 1))
+                               (3 * NLIMBS, G, 1))
     suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
         3 * NLIMBS, -1)
 
-    # tree sum over the bucket axis -> [48, W] (kept at full width with a
+    # tree sum over the bucket axis -> [48, G] (kept at full width with a
     # shrinking mask so one traced body serves every level)
     def tree_round(i, cur):
         half = jnp.int32(B) >> (i + 1)
-        cur3 = cur.reshape(3 * NLIMBS, W, B)
+        cur3 = cur.reshape(3 * NLIMBS, G, B)
         shifted = jnp.roll(cur3, -half, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx < half)[None, :], (W, B))
+        mask = jnp.broadcast_to((bidx < half)[None, :], (G, B))
         return padd_masked_flat(df, cur, shifted,
                                 mask.reshape(-1).astype(jnp.uint32),
                                 interpret=interpret)
 
     cur = jax.lax.fori_loop(0, logb, tree_round, suf)
-    return cur.reshape(3 * NLIMBS, W, B)[:, :, 0], c
+    wsums = cur.reshape(3 * NLIMBS, G, B)[:, :, 0]       # [48, G]
+    return jnp.moveaxis(wsums.reshape(3 * NLIMBS, m, W), 1, 0), c
 
 
 def _host_proj_add(p, a, b):

@@ -117,6 +117,23 @@ def _ntt_impl(df: DeviceField, x: jnp.ndarray, perm: jnp.ndarray,
     return x
 
 
+def _ntt_impl_b(df: DeviceField, x: jnp.ndarray, perm: jnp.ndarray,
+                tws) -> jnp.ndarray:
+    """Batched stage pipeline: x [m, n, 16], transform along axis 1 —
+    m independent NTTs fused in one program (per-phase column batches)."""
+    m, n = x.shape[0], x.shape[1]
+    x = x[:, perm]
+    for s, tw in enumerate(tws, start=1):
+        mm = 1 << s
+        half = mm // 2
+        xr = x.reshape(m, n // mm, mm, NLIMBS)
+        lo, hi = xr[:, :, :half], xr[:, :, half:]
+        t = fmul(df, hi, tw[None, None])
+        x = jnp.concatenate([fadd(df, lo, t), fsub(df, lo, t)],
+                            axis=2).reshape(m, n, NLIMBS)
+    return x
+
+
 def make_inv_plan(df: DeviceField, plan: NttPlan) -> tuple[NttPlan, jnp.ndarray]:
     """Inverse plan + n^{-1} scale factor (mont limbs)."""
     p = df.spec.modulus

@@ -139,8 +139,8 @@ def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
             np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
 
     permutation_vk = build_vk(params, domain, assembly.permutation)
-    fixed_commitments = [params.commit_lagrange(f, DEFAULT_BLIND)
-                         for f in fixed_device]
+    fixed_commitments = params.commit_many(
+        fixed_device, [DEFAULT_BLIND] * len(fixed_device), lagrange=True)
     return VerifyingKey(
         curve=params.curve, domain=domain,
         fixed_commitments=fixed_commitments,
@@ -169,25 +169,25 @@ def keygen_pk(params: Params, vk: VerifyingKey,
         fixed_values.append(jnp.asarray(
             np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
 
-    fixed_polys = [domain.lagrange_to_coeff(f) for f in fixed_values]
-    fixed_cosets = [domain.coeff_to_extended(p) for p in fixed_polys]
+    fixed_polys, fixed_cosets = domain.lagrange_to_coeff_extended_many(
+        fixed_values)
 
     permutation_pk = build_pk(params, domain, assembly.permutation)
 
-    # indicator polynomials (keygen.rs:304-325)
+    # indicator polynomials (keygen.rs:304-325), batched in one dispatch
     n = params.n
     blinding_factors = cs.blinding_factors()
 
-    def indicator(rows: list[int]) -> jnp.ndarray:
+    def indicator_lag(rows: list[int]) -> jnp.ndarray:
         vals = [0] * n
         for r in rows:
             vals[r] = 1
-        lag = jnp.asarray(np.asarray(df.to_mont_np(vals)).reshape(n, NLIMBS))
-        return domain.coeff_to_extended(domain.lagrange_to_coeff(lag))
+        return jnp.asarray(np.asarray(df.to_mont_np(vals)).reshape(n, NLIMBS))
 
-    l0 = indicator([0])
-    l_blind = indicator(list(range(n - blinding_factors, n)))
-    l_last = indicator([n - blinding_factors - 1])
+    _, (l0, l_blind, l_last) = domain.lagrange_to_coeff_extended_many([
+        indicator_lag([0]),
+        indicator_lag(list(range(n - blinding_factors, n))),
+        indicator_lag([n - blinding_factors - 1])])
 
     return ProvingKey(
         vk=vk, l0=l0, l_blind=l_blind, l_last=l_last,

@@ -89,14 +89,16 @@ def lookup_commit_permuted(argument: LookupArgument, cs: ConstraintSystem,
     permuted_input, permuted_table = permute_expression_pair(
         cs, params, rng, compressed_input, compressed_table)
 
-    def commit_values(values):
-        poly = domain.lagrange_to_coeff(values)
-        blind = fs.rand(rng)
-        commitment = params.commit_lagrange(values, blind)
-        return poly, blind, commitment
-
-    pi_poly, pi_blind, pi_comm = commit_values(permuted_input)
-    pt_poly, pt_blind, pt_comm = commit_values(permuted_table)
+    # A' and S' commit/transform batched: one MSM dispatch + one fused
+    # iNTT/coset-NTT dispatch for the pair (lookup/prover.rs:203-227)
+    pi_blind = fs.rand(rng)
+    pt_blind = fs.rand(rng)
+    pi_comm, pt_comm = params.commit_many(
+        [permuted_input, permuted_table], [pi_blind, pt_blind],
+        lagrange=True)
+    (pi_poly, pt_poly), (pi_coset, pt_coset) = (
+        domain.lagrange_to_coeff_extended_many(
+            [permuted_input, permuted_table]))
     transcript.write_point(pi_comm)
     transcript.write_point(pt_comm)
 
@@ -109,8 +111,8 @@ def lookup_commit_permuted(argument: LookupArgument, cs: ConstraintSystem,
         permuted_table=permuted_table,
         permuted_input_poly=pi_poly,
         permuted_table_poly=pt_poly,
-        permuted_input_coset=domain.coeff_to_extended(pi_poly),
-        permuted_table_coset=domain.coeff_to_extended(pt_poly),
+        permuted_input_coset=pi_coset,
+        permuted_table_coset=pt_coset,
         permuted_input_blind=pi_blind,
         permuted_table_blind=pt_blind,
     )
@@ -167,27 +169,38 @@ def permute_expression_pair(cs: ConstraintSystem, params, rng,
     return pi, pt
 
 
+_LOOKUP_Z_JIT: dict = {}
+
+
 def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
                           domain, beta: int, gamma: int, rng, transcript
                           ) -> CommittedLookup:
-    """lookup/prover.rs:253-392."""
+    """lookup/prover.rs:253-392. The grand-product scan is one fused
+    jitted dispatch; commit + basis transforms are one dispatch each."""
+    import jax
     df = params.scalar_df
     fs = params.curve.scalar
     n = params.n
     blinding_factors = cs.blinding_factors()
-    beta_m = jnp.broadcast_to(df.scalar(beta), (n, NLIMBS))
-    gamma_m = jnp.broadcast_to(df.scalar(gamma), (n, NLIMBS))
 
-    denom = fmul(df, fadd(df, beta_m, permuted.permuted_input),
-                 fadd(df, gamma_m, permuted.permuted_table))
-    denom_inv = batch_inv(df, denom, axis=0)
-    product = fmul(df, denom_inv,
-                   fmul(df, fadd(df, permuted.compressed_input, beta_m),
-                        fadd(df, permuted.compressed_table, gamma_m)))
+    key = (id(df), n)
+    fn = _LOOKUP_Z_JIT.get(key)
+    if fn is None:
+        def impl(pi, pt, ci, ct, b_m, g_m):
+            bb = jnp.broadcast_to(b_m, (n, NLIMBS))
+            gb = jnp.broadcast_to(g_m, (n, NLIMBS))
+            denom = fmul(df, fadd(df, bb, pi), fadd(df, gb, pt))
+            denom_inv = batch_inv(df, denom, axis=0)
+            product = fmul(df, denom_inv,
+                           fmul(df, fadd(df, ci, bb), fadd(df, ct, gb)))
+            incl = running_product(df, product, axis=0)
+            return jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
+        fn = jax.jit(impl)
+        _LOOKUP_Z_JIT[key] = fn
+    z = fn(permuted.permuted_input, permuted.permuted_table,
+           permuted.compressed_input, permuted.compressed_table,
+           df.scalar(beta), df.scalar(gamma))
 
-    # z[0] = 1, z[i] = prod_{j<i} product[j]; keep usable rows + blinding
-    incl = running_product(df, product, axis=0)
-    z = jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
     blinds = [fs.rand(rng) for _ in range(blinding_factors)]
     z = jnp.concatenate([
         z[:n - blinding_factors],
@@ -195,9 +208,8 @@ def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
         axis=0)
 
     product_blind = fs.rand(rng)
-    commitment = params.commit_lagrange(z, product_blind)
-    z_poly = domain.lagrange_to_coeff(z)
-    z_coset = domain.coeff_to_extended(z_poly)
+    (commitment,) = params.commit_many([z], [product_blind], lagrange=True)
+    (z_poly,), (z_coset,) = domain.lagrange_to_coeff_extended_many([z])
     transcript.write_point(commitment)
     return CommittedLookup(permuted=permuted, product_poly=z_poly,
                            product_coset=z_coset, product_blind=product_blind)

@@ -103,7 +103,8 @@ def build_vk(params, domain: EvaluationDomain, assembly: PermutationAssembly):
     """Commit to σ columns unblinded (keygen.rs:102-153)."""
     from ..poly.commitment import DEFAULT_BLIND
     sigmas = assembly.sigma_lagrange(params.scalar_df, domain)
-    return [params.commit_lagrange(s, DEFAULT_BLIND) for s in sigmas]
+    return params.commit_many(sigmas, [DEFAULT_BLIND] * len(sigmas),
+                              lagrange=True)
 
 
 @dataclass
@@ -117,8 +118,7 @@ def build_pk(params, domain: EvaluationDomain,
              assembly: PermutationAssembly) -> PermutationProvingKey:
     df = params.scalar_df
     sigmas = assembly.sigma_lagrange(df, domain)
-    polys = [domain.lagrange_to_coeff(s) for s in sigmas]
-    cosets = [domain.coeff_to_extended(p) for p in polys]
+    polys, cosets = domain.lagrange_to_coeff_extended_many(sigmas)
     return PermutationProvingKey(permutations=sigmas, polys=polys,
                                  cosets=cosets)
 
@@ -136,13 +136,55 @@ def _values_for(column: Column, advice, fixed, instance):
         column.column_type][column.index]
 
 
+_Z_CHUNK_JIT: dict = {}
+
+
+def _z_chunk(df: DeviceField, n: int, cl: int, values, sigmas,
+             beta_m, gamma_m, lastz_m, deltas_m, omega_pow):
+    """One chunk's z scan as ONE jitted program: denominator fraction
+    batch (batched inversion), numerator products, exclusive running
+    product scaled by the chained last_z. values/sigmas [cl, n, 16];
+    deltas_m [cl, 16] = beta * delta^{global_col..} in Montgomery form."""
+    key = (id(df), n, cl)
+    fn = _Z_CHUNK_JIT.get(key)
+    if fn is None:
+        def impl(vals, sigs, b_m, g_m, lz_m, d_m, om):
+            g = jnp.broadcast_to(g_m, (cl, n, NLIMBS))
+            den = fadd(df, vals,
+                       fadd(df, fmul(df, jnp.broadcast_to(
+                           b_m, sigs.shape), sigs), g))
+            num = fadd(df, vals,
+                       fadd(df, fmul(df, om[None],
+                                     jnp.broadcast_to(d_m[:, None, :],
+                                                      (cl, n, NLIMBS))), g))
+            modified = den[0]
+            for j in range(1, cl):
+                modified = fmul(df, modified, den[j])
+            modified = batch_inv(df, modified, axis=0)
+            for j in range(cl):
+                modified = fmul(df, modified, num[j])
+            incl = running_product(df, modified, axis=0)
+            return jnp.concatenate([
+                jnp.broadcast_to(lz_m, (1, NLIMBS)),
+                fmul(df, incl[:-1],
+                     jnp.broadcast_to(lz_m, (n - 1, NLIMBS)))], axis=0)
+        import jax
+        fn = jax.jit(impl)
+        _Z_CHUNK_JIT[key] = fn
+    return fn(values, sigmas, beta_m, gamma_m, lastz_m, deltas_m, omega_pow)
+
+
 def permutation_commit(cs: ConstraintSystem, params, domain,
                        pkey: PermutationProvingKey,
                        advice, fixed, instance,
                        beta: int, gamma: int, rng, transcript
                        ) -> list[CommittedSet]:
     """prover.rs:47-194. advice/fixed/instance: lists of [n,16] Lagrange
-    device arrays."""
+    device arrays. Per chunk: one fused z-scan dispatch (+ a last_z
+    readback, serial across chunks by construction); the commitments and
+    basis transforms of ALL chunks are then batched into single
+    dispatches (transcript order preserved — points are written after
+    every z is known, exactly as the reference emits them in order)."""
     df = params.scalar_df
     fs = params.curve.scalar
     n = params.n
@@ -157,45 +199,25 @@ def permutation_commit(cs: ConstraintSystem, params, domain,
 
     global_col = 0          # delta exponent carried across chunks
     last_z = 1
-    sets: list[CommittedSet] = []
+    z_arrays: list[jnp.ndarray] = []
+    blinds_out: list[int] = []
 
     for chunk_start in range(0, len(columns), chunk_len):
         chunk = columns[chunk_start:chunk_start + chunk_len]
         perms = pkey.permutations[chunk_start:chunk_start + chunk_len]
+        cl = len(chunk)
 
-        # denominator product: prod (value + beta*sigma + gamma)
-        modified = df.ones((n,))
-        for column, sigma in zip(chunk, perms):
-            values = _values_for(column, advice, fixed, instance)
-            term = fadd(df, values,
-                        fadd(df, fmul(df, jnp.broadcast_to(beta_m, sigma.shape),
-                                      sigma),
-                             jnp.broadcast_to(gamma_m, sigma.shape)))
-            modified = fmul(df, modified, term)
-        modified = batch_inv(df, modified, axis=0)
-
-        # numerators: prod (value + delta^j omega^i beta + gamma)
-        for column in chunk:
-            values = _values_for(column, advice, fixed, instance)
-            delta_j = df.scalar(pow(df.spec.delta, global_col,
-                                    df.spec.modulus))
-            deltaomega = fmul(df, omega_pow,
-                              jnp.broadcast_to(delta_j, omega_pow.shape))
-            term = fadd(df, values,
-                        fadd(df, fmul(df, deltaomega,
-                                      jnp.broadcast_to(beta_m,
-                                                       omega_pow.shape)),
-                             jnp.broadcast_to(gamma_m, omega_pow.shape)))
-            modified = fmul(df, modified, term)
-            global_col += 1
-
-        # z[0] = last_z; z[i] = last_z * prod_{j<i} modified[j]
-        incl = running_product(df, modified, axis=0)
-        lastz_m = df.scalar(last_z)
-        z = jnp.concatenate([
-            jnp.broadcast_to(lastz_m, (1, NLIMBS)),
-            fmul(df, incl[:-1],
-                 jnp.broadcast_to(lastz_m, (n - 1, NLIMBS)))], axis=0)
+        vals = jnp.stack([_values_for(c, advice, fixed, instance)
+                          for c in chunk], axis=0)
+        sigs = jnp.stack(perms, axis=0)
+        p = df.spec.modulus
+        deltas = [beta * pow(df.spec.delta, global_col + j, p) % p
+                  for j in range(cl)]
+        global_col += cl
+        deltas_m = jnp.asarray(np.asarray(df.to_mont_np(deltas))
+                               .reshape(cl, NLIMBS))
+        z = _z_chunk(df, n, cl, vals, sigs, beta_m, gamma_m,
+                     df.scalar(last_z), deltas_m, omega_pow)
 
         # blinding rows
         blinds = [fs.rand(rng) for _ in range(blinding_factors)]
@@ -204,14 +226,17 @@ def permutation_commit(cs: ConstraintSystem, params, domain,
                             axis=0)
         last_z = int(df.from_mont_np(
             np.asarray(z[n - (blinding_factors + 1)])))
+        z_arrays.append(z)
+        blinds_out.append(fs.rand(rng))
 
-        blind = fs.rand(rng)
-        commitment = params.commit_lagrange(z, blind)
-        z_poly = domain.lagrange_to_coeff(z)
-        z_coset = domain.coeff_to_extended(z_poly)
+    commitments = params.commit_many(z_arrays, blinds_out, lagrange=True)
+    z_polys, z_cosets = domain.lagrange_to_coeff_extended_many(z_arrays)
+    sets: list[CommittedSet] = []
+    for z, zp, zc, blind, commitment in zip(z_arrays, z_polys, z_cosets,
+                                            blinds_out, commitments):
         transcript.write_point(commitment)
-        sets.append(CommittedSet(z_lagrange=z, z_poly=z_poly,
-                                 z_coset=z_coset, blind=blind))
+        sets.append(CommittedSet(z_lagrange=z, z_poly=zp, z_coset=zc,
+                                 blind=blind))
     return sets
 
 

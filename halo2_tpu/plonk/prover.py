@@ -133,19 +133,16 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     for inst in instances:
         if len(inst) != cs.num_instance_columns:
             raise ValueError("wrong number of instance columns")
-        values_l, polys_l, cosets_l = [], [], []
-        commitments = []
+        values_l = []
         for values in inst:
             if len(values) > n - (cs.blinding_factors() + 1):
                 raise ValueError("InstanceTooLarge")
             padded = list(values) + [0] * (n - len(values))
-            lag = jnp.asarray(np.asarray(df.to_mont_np(padded))
-                              .reshape(n, NLIMBS))
-            commitments.append(params.commit_lagrange(lag, DEFAULT_BLIND))
-            poly = domain.lagrange_to_coeff(lag)
-            values_l.append(lag)
-            polys_l.append(poly)
-            cosets_l.append(domain.coeff_to_extended(poly))
+            values_l.append(jnp.asarray(np.asarray(df.to_mont_np(padded))
+                                        .reshape(n, NLIMBS)))
+        commitments = params.commit_many(
+            values_l, [DEFAULT_BLIND] * len(values_l), lagrange=True)
+        polys_l, cosets_l = domain.lagrange_to_coeff_extended_many(values_l)
         for c in commitments:
             transcript.common_point(c)
         instance_singles.append(
@@ -173,10 +170,10 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             advice_cols.append(jnp.asarray(
                 np.asarray(df.to_mont_np(ints)).reshape(n, NLIMBS)))
         advice_blinds = [fs.rand(rng) for _ in advice_cols]
-        for values, blind in zip(advice_cols, advice_blinds):
-            transcript.write_point(params.commit_lagrange(values, blind))
-        polys = [domain.lagrange_to_coeff(v) for v in advice_cols]
-        cosets = [domain.coeff_to_extended(p) for p in polys]
+        for pt in params.commit_many(advice_cols, advice_blinds,
+                                     lagrange=True):
+            transcript.write_point(pt)
+        polys, cosets = domain.lagrange_to_coeff_extended_many(advice_cols)
         advice_singles.append({"values": advice_cols, "polys": polys,
                                "cosets": cosets, "blinds": advice_blinds})
 

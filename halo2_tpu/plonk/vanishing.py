@@ -64,8 +64,8 @@ def vanishing_construct(committed: VanishingCommitted, params, domain,
     h_pieces = [h_coeffs[i * n:(i + 1) * n]
                 for i in range(domain.quotient_poly_degree)]
     h_blinds = [fs.rand(rng) for _ in h_pieces]
-    for piece, blind in zip(h_pieces, h_blinds):
-        transcript.write_point(params.commit(piece, blind))
+    for pt in params.commit_many(h_pieces, h_blinds, lagrange=False):
+        transcript.write_point(pt)
     return VanishingConstructed(h_pieces=h_pieces, h_blinds=h_blinds,
                                 committed=committed)
 

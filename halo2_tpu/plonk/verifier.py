@@ -41,19 +41,22 @@ def verify_proof(params: Params, vk: VerifyingKey, strategy,
         if len(inst) != cs.num_instance_columns:
             raise VerificationError("invalid instances")
 
+    from .prover import _PhaseTimer
+    prof = _PhaseTimer()
     # instance commitments (common)
     instance_commitments = []
     for inst in instances:
-        comms = []
+        lags = []
         for values in inst:
             if len(values) > n - (cs.blinding_factors() + 1):
                 raise VerificationError("InstanceTooLarge")
             padded = list(values) + [0] * (n - len(values))
-            lag = jnp.asarray(np.asarray(df.to_mont_np(padded))
-                              .reshape(n, NLIMBS))
-            comms.append(params.commit_lagrange(lag, DEFAULT_BLIND))
-        instance_commitments.append(comms)
+            lags.append(jnp.asarray(np.asarray(df.to_mont_np(padded))
+                                    .reshape(n, NLIMBS)))
+        instance_commitments.append(params.commit_many(
+            lags, [DEFAULT_BLIND] * len(lags), lagrange=True))
     num_proofs = len(instances)
+    prof.lap("verify: instance commits")
 
     vk.hash_into(transcript)
     for comms in instance_commitments:
@@ -218,8 +221,11 @@ def verify_proof(params: Params, vk: VerifyingKey, strategy,
     queries.append(VerifierQuery(point=x, commitment=random_poly_commitment,
                                  eval=random_eval))
 
-    return strategy.process(
+    prof.lap("verify: transcript replay + queries")
+    result = strategy.process(
         lambda msm: multiopen_verify_proof(params, transcript, queries, msm))
+    prof.lap("verify: strategy (final MSM)")
+    return result
 
 
 class SingleVerifier:

@@ -174,6 +174,12 @@ class Params:
             ints = self.scalar_df.from_mont_np(np.asarray(values_mont))
             scalars = [int(v) for v in ints] + [blind % fs.modulus]
             return self.curve.msm(scalars, list(host_bases) + [self.w])
+        if _is_concrete(values_mont):
+            # interactive path: ONE jitted device dispatch for the whole
+            # commit (mont->canonical, blind append, Pippenger window
+            # sums), then a host window combine — eager op-by-op
+            # dispatch costs ~40 ms/op on a tunneled device.
+            return self._commit_eager(values_mont, blind, bases)
         scalars = from_mont(self.scalar_df, values_mont)
         bdig = jnp.asarray(_digits16_np(blind % fs.modulus))[None]
         scalars = jnp.concatenate([scalars, bdig], axis=0)
@@ -185,6 +191,43 @@ class Params:
         return self.dev.points_from_device(
             normalize(self.dev, res))[0]
 
+    _COMMIT_JIT: dict = {}
+
+    def _commit_eager(self, values_mont: jnp.ndarray, blind: int,
+                      bases: JPoint) -> Point:
+        import jax
+        from ..ops import msm_pallas as mp
+        from ..ops.msm import _pad_pow2, _jpoint_to_proj
+        from ..ops.pallas_point import _interpret_default
+        dev = self.dev
+        df = self.scalar_df
+        n = values_mont.shape[0]
+        padded_n = max(8, 1 << n.bit_length())  # n+1 blind row -> 2n
+        c = mp.pick_c(padded_n)
+        interpret = _interpret_default()
+        key = (id(self), n, c, interpret)
+        fn = Params._COMMIT_JIT.get(key)
+        if fn is None:
+            def impl(vals, bdig, gx, gy, gz, wx, wy, wz):
+                d16 = from_mont(df, vals)
+                d16 = jnp.concatenate([d16, bdig], axis=0)
+                pts = JPoint(jnp.concatenate([gx, wx], axis=0),
+                             jnp.concatenate([gy, wy], axis=0),
+                             jnp.concatenate([gz, wz], axis=0))
+                d16, pts = _pad_pow2(dev, d16, pts)
+                proj = _jpoint_to_proj(dev, pts)
+                w, _ = mp.msm_pallas_window_sums(
+                    dev.spec, dev.base, d16, proj, c, interpret=interpret)
+                return w
+            fn = jax.jit(impl)
+            Params._COMMIT_JIT[key] = fn
+        bdig = jnp.asarray(
+            _digits16_np(blind % self.curve.scalar.modulus))[None]
+        wsums = fn(values_mont, bdig, bases.x, bases.y, bases.z,
+                   self._w_dev.x, self._w_dev.y, self._w_dev.z)
+        window_pts = mp.points_from_proj(self.curve, dev.base, wsums)
+        return mp.host_horner_combine(self.curve, window_pts, c)
+
     def commit(self, coeffs_mont: jnp.ndarray, blind: int) -> Point:
         assert coeffs_mont.shape[0] == self.n
         return self._commit_inner(coeffs_mont, blind, self.g_dev, self.g)
@@ -193,6 +236,79 @@ class Params:
         assert values_mont.shape[0] == self.n
         return self._commit_inner(values_mont, blind, self.g_lagrange_dev,
                                   self.g_lagrange)
+
+    def commit_many(self, polys_mont: list, blinds: list[int],
+                    lagrange: bool) -> list[Point]:
+        """Commit m same-basis polynomials in ONE device dispatch: the m
+        scalar vectors share the g (or g_lagrange) bases, so the batched
+        Pippenger just widens its lane axis (ops/msm_pallas.py
+        msm_pallas_window_sums_many) — a whole prover phase's
+        commitments cost about one commitment of device wall-clock."""
+        m = len(polys_mont)
+        if m == 0:
+            return []
+        if m == 1:
+            bases = self.g_lagrange_dev if lagrange else self.g_dev
+            host = self.g_lagrange if lagrange else self.g
+            return [self._commit_inner(polys_mont[0], blinds[0], bases,
+                                       host)]
+        from ..ops.msm import HOST_MSM_THRESHOLD, _is_concrete
+        fs = self.curve.scalar
+        if (self.n + 1 <= HOST_MSM_THRESHOLD
+                and all(_is_concrete(v) for v in polys_mont)):
+            return [self._commit_inner(v, b,
+                                       self.g_lagrange_dev if lagrange
+                                       else self.g_dev,
+                                       self.g_lagrange if lagrange
+                                       else self.g)
+                    for v, b in zip(polys_mont, blinds)]
+        import jax
+        from ..ops import msm_pallas as mp
+        from ..ops.pallas_point import _interpret_default
+        dev = self.dev
+        df = self.scalar_df
+        n = self.n
+        padded_n = max(8, 1 << n.bit_length())
+        c = mp.pick_c(padded_n)
+        interpret = _interpret_default()
+        key = (id(self), m, n, lagrange, c, interpret)
+        fn = Params._COMMIT_JIT.get(key)
+        if fn is None:
+            from ..ops.msm import _jpoint_to_proj
+
+            def impl(vals, bdig, gx, gy, gz, wx, wy, wz):
+                # vals [m, n, 16], bdig [m, 1, 16]
+                d16 = from_mont(df, vals)
+                d16 = jnp.concatenate([d16, bdig], axis=1)
+                pad = padded_n - (n + 1)
+                d16 = jnp.concatenate(
+                    [d16, jnp.zeros((m, pad, NLIMBS), d16.dtype)], axis=1)
+                pts = JPoint(jnp.concatenate([gx, wx], axis=0),
+                             jnp.concatenate([gy, wy], axis=0),
+                             jnp.concatenate([gz, wz], axis=0))
+                ident = dev.identity((pad,))
+                pts = JPoint(jnp.concatenate([pts.x, ident.x], axis=0),
+                             jnp.concatenate([pts.y, ident.y], axis=0),
+                             jnp.concatenate([pts.z, ident.z], axis=0))
+                proj = _jpoint_to_proj(dev, pts)
+                w, _ = mp.msm_pallas_window_sums_many(
+                    dev.spec, dev.base, d16, proj, c, interpret=interpret)
+                return w
+            fn = jax.jit(impl)
+            Params._COMMIT_JIT[key] = fn
+        bdig = jnp.asarray(np.stack(
+            [_digits16_np(b % fs.modulus) for b in blinds]))[:, None, :]
+        vals = jnp.stack(polys_mont, axis=0)
+        bases = self.g_lagrange_dev if lagrange else self.g_dev
+        wsums = fn(vals, bdig, bases.x, bases.y, bases.z,
+                   self._w_dev.x, self._w_dev.y, self._w_dev.z)
+        wsums_np = np.asarray(wsums)
+        out = []
+        for j in range(m):
+            window_pts = mp.points_from_proj(self.curve, dev.base,
+                                             wsums_np[j])
+            out.append(mp.host_horner_combine(self.curve, window_pts, c))
+        return out
 
     def empty_msm(self) -> "MSMAccumulator":
         return MSMAccumulator(self)

@@ -114,6 +114,45 @@ class EvaluationDomain:
             pow(self.extended_n, p - 2, p) * (1 << 256) % p))
 
     # ---------------- transforms (device) ----------------
+    _BATCH_XFORM_JIT: dict = {}
+
+    def lagrange_to_coeff_extended_many(self, values_list: list):
+        """Batched fused transform for a phase's columns: m Lagrange
+        vectors -> (m coeff polys, m extended-coset vectors) in ONE
+        jitted dispatch (iNTT + scale + coset-zeta + zero-pad + extended
+        NTT, all m columns together). The eager per-column path costs
+        ~6 dispatch round-trips per column on a tunneled device."""
+        m = len(values_list)
+        if m == 0:
+            return [], []
+        import jax
+        from ..ops.ntt import _plan_dev, _ntt_impl_b
+        df = self.df
+        n, ext_n = self.n, self.extended_n
+        perm_i, tws_i = _plan_dev(self.plan_inv)
+        perm_e, tws_e = _plan_dev(self.plan_ext)
+        key = (id(self), m)
+        fn = EvaluationDomain._BATCH_XFORM_JIT.get(key)
+        if fn is None:
+            n_i = len(tws_i)
+
+            def impl(vals, pm_i, pm_e, ifd, cin, *tw):
+                tws_i_, tws_e_ = tw[:n_i], tw[n_i:]
+                x = _ntt_impl_b(df, vals, pm_i, tws_i_)
+                polys = fmul(df, x, jnp.broadcast_to(ifd, x.shape))
+                a = fmul(df, polys, cin[None])
+                pad = jnp.zeros((m, ext_n - n, NLIMBS), dtype=a.dtype)
+                ext = _ntt_impl_b(df, jnp.concatenate([a, pad], axis=1),
+                                  pm_e, tws_e_)
+                return polys, ext
+            fn = jax.jit(impl)
+            EvaluationDomain._BATCH_XFORM_JIT[key] = fn
+        vals = jnp.stack(values_list, axis=0)
+        polys, cosets = fn(vals, perm_i, perm_e, self._ifft_divisor,
+                           self._coset_in, *tws_i, *tws_e)
+        return ([polys[j] for j in range(m)],
+                [cosets[j] for j in range(m)])
+
     def lagrange_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
         assert values.shape[0] == self.n
         x = _ntt_dispatch(self.df, values, self.plan_inv)
