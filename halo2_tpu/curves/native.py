@@ -59,6 +59,9 @@ def _load():
                                     u64p, u64p]
     lib.pasta_ipa_fold.argtypes = [u64p, u64p]
     lib.pasta_ipa_final.argtypes = [u64p]
+    lib.pasta_ntt.argtypes = [ctypes.c_int, u64p, ctypes.c_size_t, u64p]
+    lib.pasta_powmul.argtypes = [ctypes.c_int, u64p, ctypes.c_size_t,
+                                 u64p, u64p, ctypes.c_size_t]
     _lib = lib
     HAS_NATIVE = True
     return lib
@@ -134,6 +137,37 @@ def native_msm(spec, scalars, points):
     if out_inf[0]:
         return None
     return (_unlimbs(out_x), _unlimbs(out_y))
+
+
+def field_idx(fs) -> int | None:
+    """Library field slot for a FieldSpec (0 = Fp = Pallas base = Vesta
+    scalar; 1 = Fq = Vesta base = Pallas scalar); None if the native
+    library is unavailable or the modulus is not a pasta field."""
+    from .host import PALLAS, VESTA
+    if fs.modulus == PALLAS.base.modulus:
+        return _ensure_field(PALLAS)
+    if fs.modulus == VESTA.base.modulus:
+        return _ensure_field(VESTA)
+    return None
+
+
+def ntt_inplace(idx: int, data_u64: np.ndarray, omega_mont: int) -> None:
+    """In-place radix-2 NTT over Montgomery (n, 4) u64 data."""
+    assert data_u64.flags["C_CONTIGUOUS"]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    _lib.pasta_ntt(idx, data_u64.ctypes.data_as(u64p), data_u64.shape[0],
+                   _limbs(omega_mont).ctypes.data_as(u64p))
+
+
+def powmul_inplace(idx: int, data_u64: np.ndarray, base_mont: int,
+                   scale_mont: int, period: int) -> None:
+    """data[i] *= scale * base^(i mod period) in place (period=0: base^i)."""
+    assert data_u64.flags["C_CONTIGUOUS"]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    _lib.pasta_powmul(idx, data_u64.ctypes.data_as(u64p),
+                      data_u64.shape[0],
+                      _limbs(base_mont).ctypes.data_as(u64p),
+                      _limbs(scale_mont).ctypes.data_as(u64p), period)
 
 
 def dev_mont_to_u64(limbs16: np.ndarray) -> np.ndarray:

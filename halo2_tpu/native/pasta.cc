@@ -616,4 +616,64 @@ void pasta_ipa_final(u64 c[4]) {
   from_mont(FIELDS[IPA.sf], &IPA.p[0], c);
 }
 
+// ---- NTT ----------------------------------------------------------------
+// In-place radix-2 NTT over MONTGOMERY-form data: iterative Cooley-Tukey
+// with bit-reversal — the same math as best_fft (arithmetic.rs:192-255);
+// field ops are exact, so any schedule is bit-identical to the
+// reference's fork-join order. omega: primitive n-th root, Montgomery.
+// Used for the keygen/small-k interactive path; the device Pallas
+// butterfly kernels remain the bulk path.
+void pasta_ntt(int fidx, u64* data, size_t n, const u64 omega_mont[4]) {
+  const Field& f = FIELDS[fidx];
+  int logn = 0;
+  while ((size_t(1) << logn) < n) ++logn;
+  for (size_t i = 0; i < n; ++i) {
+    size_t r = 0;
+    for (int b = 0; b < logn; ++b) r |= ((i >> b) & 1) << (logn - 1 - b);
+    if (r > i)
+      for (int l = 0; l < 4; ++l) {
+        u64 tmp = data[4 * i + l];
+        data[4 * i + l] = data[4 * r + l];
+        data[4 * r + l] = tmp;
+      }
+  }
+  if (n < 2) return;
+  std::vector<u64> tw(4 * (n / 2));
+  fcopy(&tw[0], f.one);
+  for (size_t j = 1; j < n / 2; ++j)
+    fmul(f, &tw[4 * (j - 1)], omega_mont, &tw[4 * j]);
+  for (size_t m = 2; m <= n; m <<= 1) {
+    size_t half = m / 2, step = n / m, pairs = n / 2;
+#pragma omp parallel for schedule(static)
+    for (size_t idx = 0; idx < pairs; ++idx) {
+      size_t blk = idx / half, j = idx % half;
+      u64* lo = data + 4 * (blk * m + j);
+      u64* hi = data + 4 * (blk * m + j + half);
+      fe t;
+      fmul(f, hi, &tw[4 * (j * step)], t);
+      fsub(f, lo, t, hi);
+      fadd(f, lo, t, lo);
+    }
+  }
+}
+
+// data[i] *= scale * base^(i mod period)   (period = 0 means base^i),
+// all Montgomery. Covers the iFFT 1/n divisor (period=1), the zeta-coset
+// distribution (period=3: 1, z, z^2 — domain.rs:357-373), and general
+// power-distribution folds.
+void pasta_powmul(int fidx, u64* data, size_t n, const u64 base_mont[4],
+                  const u64 scale_mont[4], size_t period) {
+  const Field& f = FIELDS[fidx];
+  size_t m = period ? period : n;
+  if (m > n) m = n;
+  if (m == 0) return;
+  std::vector<u64> pw(4 * m);
+  fcopy(&pw[0], scale_mont);
+  for (size_t j = 1; j < m; ++j)
+    fmul(f, &pw[4 * (j - 1)], base_mont, &pw[4 * j]);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; ++i)
+    fmul(f, data + 4 * i, &pw[4 * (i % m)], data + 4 * i);
+}
+
 }  // extern "C"

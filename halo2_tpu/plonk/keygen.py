@@ -123,24 +123,31 @@ def _pack_columns(df, fs, columns: list[list[Assigned]]) -> list[jnp.ndarray]:
 
 def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
     """keygen.rs:189-244."""
+    from .prover import _PhaseTimer
+    prof = _PhaseTimer(tag="keygen_vk")
     fs = params.curve.scalar
     df = params.scalar_df
     cs, domain, config = create_domain(params, type(circuit))
     if params.n < cs.minimum_rows():
         raise NotEnoughRowsAvailable(params.k)
+    prof.lap("domain")
 
     assembly = Assembly(cs, params, fs)
     _synthesize(circuit.without_witnesses(), config, assembly, cs.constants)
+    prof.lap("synthesize")
 
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
     fixed_device = _pack_columns(df, fs, assembly.fixed)
     for poly in selector_polys:
         fixed_device.append(jnp.asarray(
             np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
+    prof.lap("compress+pack")
 
     permutation_vk = build_vk(params, domain, assembly.permutation)
+    prof.lap("permutation build_vk")
     fixed_commitments = params.commit_many(
         fixed_device, [DEFAULT_BLIND] * len(fixed_device), lagrange=True)
+    prof.lap("fixed commits")
     return VerifyingKey(
         curve=params.curve, domain=domain,
         fixed_commitments=fixed_commitments,
@@ -160,19 +167,25 @@ def keygen_pk(params: Params, vk: VerifyingKey,
     if params.n < cs.minimum_rows():
         raise NotEnoughRowsAvailable(params.k)
 
+    from .prover import _PhaseTimer
+    prof = _PhaseTimer(tag="keygen_pk")
     assembly = Assembly(cs, params, fs)
     _synthesize(circuit.without_witnesses(), config, assembly, cs.constants)
+    prof.lap("synthesize")
 
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
     fixed_values = _pack_columns(df, fs, assembly.fixed)
     for poly in selector_polys:
         fixed_values.append(jnp.asarray(
             np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
+    prof.lap("compress+pack")
 
     fixed_polys, fixed_cosets = domain.lagrange_to_coeff_extended_many(
         fixed_values)
+    prof.lap("fixed ntt")
 
     permutation_pk = build_pk(params, domain, assembly.permutation)
+    prof.lap("permutation build_pk")
 
     # indicator polynomials (keygen.rs:304-325), batched in one dispatch
     n = params.n

@@ -46,15 +46,16 @@ class _PhaseTimer:
     (the aux-observability analogue of the reference's TracingFloorPlanner
     span timings, SURVEY.md §5.1)."""
 
-    def __init__(self):
+    def __init__(self, tag: str = "prove"):
         self.enabled = bool(os.environ.get("HALO2_TPU_PROF"))
+        self.tag = tag
         self.t = time.perf_counter()
 
     def lap(self, name: str) -> None:
         if not self.enabled:
             return
         now = time.perf_counter()
-        print(f"[prove] {name}: {now - self.t:.2f}s", flush=True)
+        print(f"[{self.tag}] {name}: {now - self.t:.2f}s", flush=True)
         self.t = now
 
 

@@ -415,10 +415,11 @@ class MSMAccumulator:
             bases.extend(self.params.g)
         if not scalars:
             return True
-        dev = self.params.dev
-        digits = np.stack([_digits16_np(s) for s in scalars])
-        res = msm(dev, jnp.asarray(digits), dev.points_to_device(bases))
-        return dev.points_from_device(normalize(dev, res))[0] is None
+        # One-shot host data: the native/host Pippenger (OpenMP C++)
+        # beats a device round-trip at any verifier-side size — the
+        # points are fresh host tuples, so the device path would pay
+        # host->device conversion plus dispatch latency on top.
+        return self.params.curve.msm(scalars, bases) is None
 
 
 # ---------------------------------------------------------------------------
@@ -481,7 +482,8 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         half = 1 << (k - j - 1)
         if (sess is None and half <= native_threshold
                 and not os.environ.get("HALO2_TPU_NO_NATIVE")):
-            sess = _start_native_ipa(params, p_prime, b, g_prime)
+            sess = _start_native_ipa(params, p_prime, b, g_prime,
+                                     g_is_srs=(j == 0))
         if sess is not None:
             l_pt, r_pt, value_l, value_r = sess.round()
         else:
@@ -548,20 +550,36 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
 
 
 def _start_native_ipa(params: Params, p_prime: jnp.ndarray, b: jnp.ndarray,
-                      g_prime: JPoint):
+                      g_prime: JPoint, g_is_srs: bool = False):
     """Hand the IPA state to the native library (curves/native.py);
     None if the native toolchain is unavailable. Arrays transfer in
-    Montgomery form — the device's R = 2^256 matches the library's."""
+    Montgomery form — the device's R = 2^256 matches the library's.
+
+    When the session starts at round 0 (g_is_srs), G' is still the
+    untouched SRS: its Montgomery x/y arrays are cached host-side on
+    first use, skipping the batch-normalize dispatch and the large
+    point readback on every proof."""
     from ..curves import native
     if native._load() is None:
         return None
     dev = params.dev
-    g_norm = normalize(dev, g_prime)  # affine with Z in {0, 1}
-    gz = np.asarray(g_norm.z)
-    g_inf = (gz == 0).all(axis=-1)
+    pb = np.asarray(jnp.stack([p_prime, b]))  # one readback for both
+    if g_is_srs:
+        cached = getattr(params, "_g_native", None)
+        if cached is None:
+            gx = np.asarray(params.g_dev.x)
+            gy = np.asarray(params.g_dev.y)
+            g_inf = np.array([pt is None for pt in params.g], np.uint8)
+            cached = (gx, gy, g_inf)
+            params._g_native = cached
+        gx, gy, g_inf = cached
+    else:
+        g_norm = normalize(dev, g_prime)  # affine with Z in {0, 1}
+        gz = np.asarray(g_norm.z)
+        g_inf = (gz == 0).all(axis=-1)
+        gx, gy = np.asarray(g_norm.x), np.asarray(g_norm.y)
     return native.NativeIpaSession(
-        params.curve, np.asarray(p_prime), np.asarray(b),
-        np.asarray(g_norm.x), np.asarray(g_norm.y), g_inf)
+        params.curve, pb[0], pb[1], gx, gy, g_inf)
 
 
 def _slice_pts(pts: JPoint, lo: int, hi: int) -> JPoint:

@@ -49,6 +49,17 @@ def _ntt_dispatch(df: DeviceField, values, plan):
     return ntt(df, values, plan)
 
 
+# Base-domain sizes at or below this run keygen/interactive transforms in
+# the native host library (one OpenMP NTT call instead of a tunneled
+# device dispatch); above it the device butterfly kernels take over.
+NATIVE_NTT_MAX = int(_os.environ.get("HALO2_TPU_NATIVE_NTT_MAX", "16384"))
+
+
+def _concrete(*arrays) -> bool:
+    import jax.core
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
 class EvaluationDomain:
     def __init__(self, df: DeviceField, j: int, k: int):
         """j = circuit degree (quotient_poly_degree + 1), k = log2(rows)."""
@@ -113,6 +124,56 @@ class EvaluationDomain:
         self._ext_ifft_divisor = jnp.asarray(int_to_limbs(
             pow(self.extended_n, p - 2, p) * (1 << 256) % p))
 
+        # Montgomery-form host constants for the native NTT path
+        R = 1 << 256
+        self._m = {
+            "one": R % p,
+            "omega": self.omega * R % p,
+            "omega_inv": self.omega_inv * R % p,
+            "ext_omega": self.extended_omega * R % p,
+            "ext_omega_inv": self.extended_omega_inv * R % p,
+            "n_inv": pow(self.n, p - 2, p) * R % p,
+            "ext_n_inv": pow(self.extended_n, p - 2, p) * R % p,
+            "zeta": self.g_coset * R % p,
+            "zeta_inv": self.g_coset_inv * R % p,
+        }
+        self._native_idx_cache = -1  # unresolved
+
+    # ---------------- native host path (small domains) ----------------
+    def _native_idx(self):
+        if _os.environ.get("HALO2_TPU_NO_NATIVE"):
+            return None
+        if self._native_idx_cache == -1:
+            from ..curves import native
+            if native._load() is None:
+                self._native_idx_cache = None
+            else:
+                self._native_idx_cache = native.field_idx(self.df.spec)
+        return self._native_idx_cache
+
+    def _use_native(self, *arrays) -> bool:
+        return (self.n <= NATIVE_NTT_MAX and _concrete(*arrays)
+                and self._native_idx() is not None)
+
+    def _native_l2c(self, col_u64: np.ndarray) -> None:
+        """In-place Lagrange -> coeff (iNTT + 1/n) on (n,4) u64 mont."""
+        from ..curves import native
+        idx = self._native_idx()
+        native.ntt_inplace(idx, col_u64, self._m["omega_inv"])
+        native.powmul_inplace(idx, col_u64, self._m["one"],
+                              self._m["n_inv"], 1)
+
+    def _native_c2e(self, col_u64: np.ndarray) -> np.ndarray:
+        """coeff (n,4) -> extended coset (ext_n,4), fresh array."""
+        from ..curves import native
+        idx = self._native_idx()
+        ext = np.zeros((self.extended_n, 4), np.uint64)
+        ext[:self.n] = col_u64
+        native.powmul_inplace(idx, ext[:self.n], self._m["zeta"],
+                              self._m["one"], 3)
+        native.ntt_inplace(idx, ext, self._m["ext_omega"])
+        return ext
+
     # ---------------- transforms (device) ----------------
     _BATCH_XFORM_JIT: dict = {}
 
@@ -125,6 +186,18 @@ class EvaluationDomain:
         m = len(values_list)
         if m == 0:
             return [], []
+        if self._use_native(*values_list):
+            from ..curves import native
+            stacked = np.asarray(jnp.stack(values_list))  # one readback
+            polys, cosets = [], []
+            for j in range(m):
+                col = np.ascontiguousarray(
+                    native.dev_mont_to_u64(stacked[j]))
+                self._native_l2c(col)
+                ext = self._native_c2e(col)
+                polys.append(jnp.asarray(native.u64_to_dev_mont(col)))
+                cosets.append(jnp.asarray(native.u64_to_dev_mont(ext)))
+            return polys, cosets
         import jax
         from ..ops.ntt import _plan_dev, _ntt_impl_b
         df = self.df
@@ -155,15 +228,33 @@ class EvaluationDomain:
 
     def lagrange_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
         assert values.shape[0] == self.n
+        if self._use_native(values):
+            from ..curves import native
+            col = np.ascontiguousarray(
+                native.dev_mont_to_u64(np.asarray(values)))
+            self._native_l2c(col)
+            return jnp.asarray(native.u64_to_dev_mont(col))
         x = _ntt_dispatch(self.df, values, self.plan_inv)
         return fmul(self.df, x,
                     jnp.broadcast_to(self._ifft_divisor, x.shape))
 
     def coeff_to_lagrange(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        if self._use_native(coeffs):
+            from ..curves import native
+            col = np.ascontiguousarray(
+                native.dev_mont_to_u64(np.asarray(coeffs)))
+            native.ntt_inplace(self._native_idx(), col, self._m["omega"])
+            return jnp.asarray(native.u64_to_dev_mont(col))
         return _ntt_dispatch(self.df, coeffs, self.plan)
 
     def coeff_to_extended(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         assert coeffs.shape[0] == self.n
+        if self._use_native(coeffs):
+            from ..curves import native
+            col = np.ascontiguousarray(
+                native.dev_mont_to_u64(np.asarray(coeffs)))
+            return jnp.asarray(native.u64_to_dev_mont(
+                self._native_c2e(col)))
         a = fmul(self.df, coeffs, self._coset_in)
         pad = jnp.zeros((self.extended_n - self.n, NLIMBS), dtype=a.dtype)
         return _ntt_dispatch(self.df, jnp.concatenate([a, pad], axis=0),
@@ -173,6 +264,16 @@ class EvaluationDomain:
         """iFFT + un-coset; returns all extended_n coefficients (caller
         truncates to n * quotient_poly_degree, domain.rs:303-325)."""
         assert values.shape[0] == self.extended_n
+        if self._use_native(values):
+            from ..curves import native
+            idx = self._native_idx()
+            col = np.ascontiguousarray(
+                native.dev_mont_to_u64(np.asarray(values)))
+            native.ntt_inplace(idx, col, self._m["ext_omega_inv"])
+            # un-coset pattern [1, z^2, z^4=z][i%3] scaled by 1/ext_n
+            native.powmul_inplace(idx, col, self._m["zeta_inv"],
+                                  self._m["ext_n_inv"], 3)
+            return jnp.asarray(native.u64_to_dev_mont(col))
         x = _ntt_dispatch(self.df, values, self.plan_ext_inv)
         x = fmul(self.df, x,
                  jnp.broadcast_to(self._ext_ifft_divisor, x.shape))
