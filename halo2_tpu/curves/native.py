@@ -153,6 +153,9 @@ def field_idx(fs) -> int | None:
 
 def ntt_inplace(idx: int, data_u64: np.ndarray, omega_mont: int) -> None:
     """In-place radix-2 NTT over Montgomery (n, 4) u64 data."""
+    if _load() is None:
+        raise RuntimeError("native pasta library unavailable "
+                           "(ntt_inplace requires a g++ toolchain)")
     assert data_u64.flags["C_CONTIGUOUS"]
     u64p = ctypes.POINTER(ctypes.c_uint64)
     _lib.pasta_ntt(idx, data_u64.ctypes.data_as(u64p), data_u64.shape[0],
@@ -162,6 +165,9 @@ def ntt_inplace(idx: int, data_u64: np.ndarray, omega_mont: int) -> None:
 def powmul_inplace(idx: int, data_u64: np.ndarray, base_mont: int,
                    scale_mont: int, period: int) -> None:
     """data[i] *= scale * base^(i mod period) in place (period=0: base^i)."""
+    if _load() is None:
+        raise RuntimeError("native pasta library unavailable "
+                           "(powmul_inplace requires a g++ toolchain)")
     assert data_u64.flags["C_CONTIGUOUS"]
     u64p = ctypes.POINTER(ctypes.c_uint64)
     _lib.pasta_powmul(idx, data_u64.ctypes.data_as(u64p),

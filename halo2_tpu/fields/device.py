@@ -152,6 +152,27 @@ def _select(cond, a, b):
     return [jnp.where(c, x, y) for x, y in zip(a, b)]
 
 
+def _rolled() -> bool:
+    """Loop-rolled limb kernels (lax.fori_loop/scan over the 16 limbs)
+    instead of Python-unrolled straight-line code.
+
+    The unrolled form is right for TPU: XLA:TPU fuses the elementwise
+    limb graph and loops carry real per-iteration cost. On CPU the same
+    unrolled graph is a compile-time disaster — one Montgomery mul is
+    ~3k HLO ops, a Jacobian add ~24 muls, and a jitted MSM ladder body
+    ~90k ops that XLA:CPU/LLVM chews on for many minutes (the multichip
+    dryrun timeout). Rolled kernels compute the identical values with a
+    ~15x smaller graph. Override with HALO2_TPU_ROLLED=0/1."""
+    import os
+    env = os.environ.get("HALO2_TPU_ROLLED")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
 _FIELD_OP_JIT: dict = {}
 
 
@@ -161,12 +182,45 @@ def _jitted_op(df: DeviceField, name: str, make):
     executable (the prover spent more time in apply_primitive than in
     math). jax.jit fuses them per input shape and reuses the compiled
     kernel; nested under an outer trace it simply traces through."""
-    key = (name, id(df))
+    key = (name, id(df), _rolled())
     fn = _FIELD_OP_JIT.get(key)
     if fn is None:
         fn = jax.jit(make(df))
         _FIELD_OP_JIT[key] = fn
     return fn
+
+
+# ---- loop-rolled raw ops on stacked [..., 16] arrays (see _rolled) ----
+
+def _add_raw_st(a, b):
+    """Stacked 16-limb add via lax.scan -> ([..., 16] digits, carry)."""
+    s = jnp.moveaxis(a + b, -1, 0)  # each column < 2^17, exact in u32
+
+    def step(c, col):
+        t = col + c
+        return t >> LIMB_BITS, t & MASK
+
+    c, digits = jax.lax.scan(step, jnp.zeros_like(s[0]), s)
+    return jnp.moveaxis(digits, 0, -1), c
+
+
+def _sub_raw_st(a, b):
+    """Stacked 16-limb subtract -> ([..., 16] digits, borrow 0/1)."""
+    am = jnp.moveaxis(a, -1, 0)
+    bm = jnp.moveaxis(b, -1, 0)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        t = ai + jnp.uint32(1 << LIMB_BITS) - bi - borrow
+        return jnp.uint32(1) - (t >> LIMB_BITS), t & MASK
+
+    borrow, digits = jax.lax.scan(step, jnp.zeros_like(am[0]), (am, bm))
+    return jnp.moveaxis(digits, 0, -1), borrow
+
+
+def _bcast_p(df: DeviceField, like):
+    return jnp.broadcast_to(jnp.asarray(np.array(df.p_limbs, np.uint32)),
+                            like.shape)
 
 
 def fadd(df: DeviceField, a, b):
@@ -175,6 +229,11 @@ def fadd(df: DeviceField, a, b):
 
 
 def _fadd_impl(df: DeviceField, a, b):
+    if _rolled():
+        s, carry = _add_raw_st(a, b)
+        d, borrow = _sub_raw_st(s, _bcast_p(df, s))
+        use_d = carry | (jnp.uint32(1) - borrow)
+        return jnp.where(use_d.astype(jnp.bool_)[..., None], d, s)
     al, bl = _unstack(a), _unstack(b)
     s, carry = _add_raw(al, bl)
     pl = _const_limbs(df, s[0], df.p_limbs)
@@ -189,6 +248,10 @@ def fsub(df: DeviceField, a, b):
 
 
 def _fsub_impl(df: DeviceField, a, b):
+    if _rolled():
+        d, borrow = _sub_raw_st(a, b)
+        dp, _ = _add_raw_st(d, _bcast_p(df, d))
+        return jnp.where(borrow.astype(jnp.bool_)[..., None], dp, d)
     al, bl = _unstack(a), _unstack(b)
     d, borrow = _sub_raw(al, bl)
     pl = _const_limbs(df, d[0], df.p_limbs)
@@ -258,12 +321,94 @@ def _mont_mul(df: DeviceField, a, b):
     return _stack(_select(c | (jnp.uint32(1) - borrow), d, out))
 
 
+def _mont_mul_rolled(df: DeviceField, a, b):
+    """Identical math to _mont_mul with the two 16-round limb loops as
+    lax.fori_loop — ~15x fewer HLO ops per multiply, which is what keeps
+    XLA:CPU compiles of mul-heavy loop bodies (MSM ladders, NTT stages)
+    tractable. Values are bit-identical to the unrolled form."""
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    if a.shape[:-1] != batch:
+        a = jnp.broadcast_to(a, batch + (NLIMBS,))
+    if b.shape[:-1] != batch:
+        b = jnp.broadcast_to(b, batch + (NLIMBS,))
+    prod = a[..., :, None] * b[..., None, :]
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    cols0 = jnp.zeros(batch + (2 * NLIMBS + 1,), dtype=U32)
+
+    def acc_body(i, cols):
+        lo_i = jax.lax.dynamic_index_in_dim(lo, i, axis=-2, keepdims=False)
+        hi_i = jax.lax.dynamic_index_in_dim(hi, i, axis=-2, keepdims=False)
+        seg = jax.lax.dynamic_slice_in_dim(cols, i, NLIMBS, axis=-1)
+        cols = jax.lax.dynamic_update_slice_in_dim(cols, seg + lo_i, i,
+                                                   axis=-1)
+        seg = jax.lax.dynamic_slice_in_dim(cols, i + 1, NLIMBS, axis=-1)
+        cols = jax.lax.dynamic_update_slice_in_dim(cols, seg + hi_i, i + 1,
+                                                   axis=-1)
+        return cols
+
+    cols = jax.lax.fori_loop(0, NLIMBS, acc_body, cols0)
+
+    n0 = jnp.uint32(df.n0)
+    p = df.p_limbs
+    nz = [j for j in range(1, NLIMBS) if p[j] != 0]
+    runs = []
+    for j in nz:
+        if runs and runs[-1][1] == j:
+            runs[-1] = (runs[-1][0], j + 1)
+        else:
+            runs.append((j, j + 1))
+    run_consts = [jnp.asarray(np.array([p[j] for j in range(lo_j, hi_j)],
+                                       dtype=np.uint32))
+                  for lo_j, hi_j in runs]
+
+    def red_body(i, state):
+        cols, c = state
+        t = jax.lax.dynamic_index_in_dim(cols, i, axis=-1,
+                                         keepdims=False) + c
+        m = (t * n0) & MASK
+        mp0 = m * jnp.uint32(p[0])
+        u = t + (mp0 & MASK)
+        c = (u >> LIMB_BITS) + (mp0 >> LIMB_BITS)
+        for (lo_j, hi_j), pc in zip(runs, run_consts):
+            ln = hi_j - lo_j
+            mp = m[..., None] * pc
+            seg = jax.lax.dynamic_slice_in_dim(cols, i + lo_j, ln, axis=-1)
+            cols = jax.lax.dynamic_update_slice_in_dim(
+                cols, seg + (mp & MASK), i + lo_j, axis=-1)
+            seg = jax.lax.dynamic_slice_in_dim(cols, i + lo_j + 1, ln,
+                                               axis=-1)
+            cols = jax.lax.dynamic_update_slice_in_dim(
+                cols, seg + (mp >> LIMB_BITS), i + lo_j + 1, axis=-1)
+        return cols, c
+
+    cols, c = jax.lax.fori_loop(0, NLIMBS, red_body,
+                                (cols, jnp.zeros(batch, dtype=U32)))
+
+    # carry-propagate the high half via scan
+    high = jnp.moveaxis(cols[..., NLIMBS:2 * NLIMBS], -1, 0)
+
+    def carry_step(cc, col):
+        t = col + cc
+        return t >> LIMB_BITS, t & MASK
+
+    c, digits = jax.lax.scan(carry_step, c, high)
+    out = jnp.moveaxis(digits, 0, -1)
+    d, borrow = _sub_raw_st(out, _bcast_p(df, out))
+    use_d = c | (jnp.uint32(1) - borrow)
+    return jnp.where(use_d.astype(jnp.bool_)[..., None], d, out)
+
+
 def fmul(df: DeviceField, a, b):
-    return _jitted_op(df, "fmul",
-                      lambda d: lambda x, y: _mont_mul(d, x, y))(a, b)
+    return _jitted_op(
+        df, "fmul",
+        lambda d: lambda x, y: (_mont_mul_rolled(d, x, y) if _rolled()
+                                else _mont_mul(d, x, y)))(a, b)
 
 
 def fsquare(df: DeviceField, a):
+    if _rolled():
+        return _mont_mul_rolled(df, a, a)
     return _mont_mul(df, a, a)
 
 

@@ -102,9 +102,14 @@ class PermutationAssembly:
 def build_vk(params, domain: EvaluationDomain, assembly: PermutationAssembly):
     """Commit to σ columns unblinded (keygen.rs:102-153)."""
     from ..poly.commitment import DEFAULT_BLIND
+    from .prover import _PhaseTimer
+    prof = _PhaseTimer(tag="perm_vk")
     sigmas = assembly.sigma_lagrange(params.scalar_df, domain)
-    return params.commit_many(sigmas, [DEFAULT_BLIND] * len(sigmas),
-                              lagrange=True)
+    prof.lap("sigma_lagrange")
+    out = params.commit_many(sigmas, [DEFAULT_BLIND] * len(sigmas),
+                             lagrange=True)
+    prof.lap(f"commit_many m={len(sigmas)}")
+    return out
 
 
 @dataclass

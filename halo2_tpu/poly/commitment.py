@@ -418,7 +418,20 @@ class MSMAccumulator:
         # One-shot host data: the native/host Pippenger (OpenMP C++)
         # beats a device round-trip at any verifier-side size — the
         # points are fresh host tuples, so the device path would pay
-        # host->device conversion plus dispatch latency on top.
+        # host->device conversion plus dispatch latency on top. But if
+        # the native library failed to load (no g++), pure-Python
+        # Pippenger over n+ points takes minutes at large k: route big
+        # evals through the device MSM instead.
+        from ..curves import native
+        if (native._load() is None and len(scalars) > 4096
+                and not os.environ.get("HALO2_TPU_NO_NATIVE")):
+            dev = self.params.dev
+            digits = jnp.asarray(np.stack(
+                [_digits16_np(s % self.fs.modulus) for s in scalars]))
+            pts = dev.points_to_device(bases)
+            res = dev.points_from_device(normalize(dev, msm(
+                dev, digits, pts)))[0]
+            return res is None
         return self.params.curve.msm(scalars, bases) is None
 
 

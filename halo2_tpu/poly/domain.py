@@ -52,6 +52,10 @@ def _ntt_dispatch(df: DeviceField, values, plan):
 # Base-domain sizes at or below this run keygen/interactive transforms in
 # the native host library (one OpenMP NTT call instead of a tunneled
 # device dispatch); above it the device butterfly kernels take over.
+# NOTE: the cap is on the BASE domain size self.n — extended-domain
+# transforms (coeff_to_extended / extended_to_coeff) gated by it operate
+# on extended_n, up to quotient_poly_degree x larger, so raising this
+# knob moves transforms up to that factor bigger onto the host.
 NATIVE_NTT_MAX = int(_os.environ.get("HALO2_TPU_NATIVE_NTT_MAX", "16384"))
 
 

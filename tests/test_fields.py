@@ -93,3 +93,34 @@ def test_sqrt():
             sq = v * v % spec.modulus
             r = spec.sqrt(sq)
             assert r is not None and r * r % spec.modulus == sq
+
+
+@pytest.mark.parametrize("spec,dev", [(FP, FP_DEV), (FQ, FQ_DEV)])
+def test_rolled_matches_unrolled(spec, dev):
+    """The loop-rolled limb kernels (CPU-backend default; see
+    fields/device.py::_rolled) must be bit-identical to the unrolled
+    straight-line form used on TPU."""
+    from halo2_tpu.fields.device import (_mont_mul, _mont_mul_rolled,
+                                         _fadd_impl, _fsub_impl)
+    import os
+    n = 33
+    a = rand_elems(spec, n)
+    b = rand_elems(spec, n)
+    a[0], b[0] = spec.modulus - 1, spec.modulus - 1
+    a[1], b[1] = 0, 1
+    da, db = jnp.asarray(dev.to_mont_np(a)), jnp.asarray(dev.to_mont_np(b))
+    assert (np.asarray(_mont_mul_rolled(dev, da, db))
+            == np.asarray(_mont_mul(dev, da, db))).all()
+    old = os.environ.get("HALO2_TPU_ROLLED")
+    try:
+        os.environ["HALO2_TPU_ROLLED"] = "1"
+        add_r = np.asarray(_fadd_impl(dev, da, db))
+        sub_r = np.asarray(_fsub_impl(dev, da, db))
+        os.environ["HALO2_TPU_ROLLED"] = "0"
+        assert (np.asarray(_fadd_impl(dev, da, db)) == add_r).all()
+        assert (np.asarray(_fsub_impl(dev, da, db)) == sub_r).all()
+    finally:
+        if old is None:
+            os.environ.pop("HALO2_TPU_ROLLED", None)
+        else:
+            os.environ["HALO2_TPU_ROLLED"] = old
