@@ -43,22 +43,23 @@ def pick_c(n: int) -> int:
     """Window size by explicit cost model of the round-loop schedule.
 
     The bucket-accumulation loop runs `max run length` rounds of one
-    [48, W·B]-lane masked add, so its cost is maxrun·W·B. For uniform
-    digits maxrun ≈ n/B plus multinomial slack, BUT the top window only
-    spans `255 − c·(W−1)` bits (scalars < 2^255), so its runs are
-    n/2^topbits — window sizes that leave a tiny top window (e.g. c=11:
-    2 bits) are catastrophically skewed. The model also charges the
-    2·log2(B) suffix/tree rounds. Minimizing it lands on c=4/8 (256 ≡ 0
-    mod c keeps the top window full-width) at practical sizes."""
+    [48, (W+T−1)·B]-lane masked add. The top window only spans
+    `255 − c·(W−1)` bits (scalars < 2^255), so its runs would be
+    n/2^topbits; the T-way top-window split in
+    msm_pallas_window_sums_many rebalances them to uniform length at the
+    price of (T−1)·B extra lanes — the model charges both, plus the
+    2·log2(B) suffix/tree rounds. Minimizing lands on c=8 at practical
+    sizes (256 ≡ 0 mod c keeps the top window full-width, T=4 on the
+    254.5-bit Pasta moduli)."""
     best_c, best_cost = 4, float("inf")
     for c in range(4, 17):
         W = -(-256 // c)
         B = 1 << c
         topbits = max(255 - c * (W - 1), 1)
+        T = max(1, B >> min(topbits, c))
         per_bucket = n / B
-        maxrun = max(per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0,
-                     n / (1 << topbits) + 4.0)
-        cost = (maxrun + 2 * c) * W * B
+        maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
+        cost = (maxrun + 2 * c) * (W + T - 1) * B
         if cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -122,20 +123,69 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     order = jnp.argsort(d, axis=1).astype(jnp.int32)     # [G, n]
     ds = jnp.take_along_axis(d, order, axis=1)           # sorted digits
 
-    buckets = jnp.arange(B, dtype=jnp.uint32)
-    starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, buckets, side="left"))(ds)
-    ends = jax.vmap(
-        lambda row: jnp.searchsorted(row, buckets, side="right"))(ds)
+    # Bucket run boundaries: a hand-vectorized binary search over the
+    # sorted digit rows — ceil(log2 n)+1 rounds of one [G, B] gather each.
+    # (vmapped jnp.searchsorted lowered to a ~50 ms program at n=2^16;
+    # XLA scatter-histograms were slower still.)
+    buckets = jnp.arange(B, dtype=jnp.uint32)[None, :]   # [1, B]
+
+    def _bisect(leq: bool) -> jnp.ndarray:
+        lo = jnp.zeros((G, B), dtype=jnp.int32)
+        hi = jnp.full((G, B), n, dtype=jnp.int32)
+        for _ in range(n.bit_length()):
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(ds, jnp.minimum(mid, n - 1), axis=1)
+            go_right = (v <= buckets) if leq else (v < buckets)
+            go_right = go_right & (mid < hi)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        return lo
+
+    starts = _bisect(leq=False)
+    ends = _bisect(leq=True)
     counts = (ends - starts).astype(jnp.int32)           # [G, B]
     # never loop for bucket-0 runs (digit 0 contributes nothing)
     eff_counts = counts.at[:, 0].set(0)
-    maxc = jnp.max(eff_counts)
+
+    # Top-window skew split: scalars < q < 2^255 leave the top window
+    # only `topbits` of entropy, so its bucket runs are ~B/2^topbits
+    # times longer than the uniform windows' — without this the round
+    # loop spends most of its iterations on a single window's tails
+    # (measured 1113 rounds instead of ~310 at n=2^16, c=8 on Vesta).
+    # Each top-window row is split into T sub-rows covering staggered
+    # run slices; their partial window sums add back at the end
+    # (summation-by-parts is linear in the bucket sums).
+    top_range = ((cv_spec.scalar.modulus - 1) >> (c * (W - 1))) + 1
+    T = max(1, B // (1 << max(1, top_range.bit_length() - 1)))
+    row_map = np.arange(G, dtype=np.int32)
+    if T > 1:
+        top_rows = np.arange(W - 1, G, W, dtype=np.int32)   # [m]
+        extra = np.repeat(top_rows, T - 1)                  # [m*(T-1)]
+        row_map = np.concatenate([row_map, extra])
+        sub = np.zeros(row_map.shape[0], dtype=np.int32)
+        sub[G:] = np.tile(np.arange(1, T, dtype=np.int32), m)
+        is_top = np.zeros(row_map.shape[0], dtype=bool)
+        is_top[top_rows] = True
+        is_top[G:] = True
+        rm = jnp.asarray(row_map)
+        starts_e = starts[rm]
+        counts_e = eff_counts[rm]
+        order_e = order[rm]
+        # slice length per (row, bucket): ceil(count / T) on top rows
+        Lb = jnp.where(jnp.asarray(is_top)[:, None],
+                       (counts_e + (T - 1)) // T, counts_e)
+        off = jnp.asarray(sub)[:, None] * Lb
+        starts_e = starts_e + off
+        counts_e = jnp.clip(counts_e - off, 0, Lb)
+    else:
+        starts_e, counts_e, order_e = starts, eff_counts, order
+    Ge = starts_e.shape[0]
+    maxc = jnp.max(counts_e)
 
     ident_col = _ident_col_j(df.spec.modulus)
-    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, G * B))
+    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, Ge * B))
 
-    starts_i = starts.astype(jnp.int32)
+    starts_i = starts_e.astype(jnp.int32)
 
     def cond(state):
         r, _ = state
@@ -143,10 +193,10 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
 
     def body(state):
         r, acc = state
-        idx = jnp.minimum(starts_i + r, n - 1)           # [G, B]
-        valid = (r < eff_counts).reshape(-1)             # [G*B]
-        gidx = jnp.take_along_axis(order, idx, axis=1)   # [G, B]
-        P = jnp.take(pts, gidx.reshape(-1), axis=1)      # [48, G*B]
+        idx = jnp.minimum(starts_i + r, n - 1)           # [Ge, B]
+        valid = (r < counts_e).reshape(-1)               # [Ge*B]
+        gidx = jnp.take_along_axis(order_e, idx, axis=1)
+        P = jnp.take(pts, gidx.reshape(-1), axis=1)      # [48, Ge*B]
         acc = padd_masked_flat(df, acc, P,
                                valid.astype(jnp.uint32),
                                interpret=interpret)
@@ -163,9 +213,9 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
 
     def suffix_round(i, suf):
         s = jnp.int32(1) << i
-        suf3 = suf.reshape(3 * NLIMBS, G, B)
+        suf3 = suf.reshape(3 * NLIMBS, Ge, B)
         shifted = jnp.roll(suf3, -s, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx + s < B)[None, :], (G, B))
+        mask = jnp.broadcast_to((bidx + s < B)[None, :], (Ge, B))
         return padd_masked_flat(df, suf, shifted,
                                 mask.reshape(-1).astype(jnp.uint32),
                                 interpret=interpret)
@@ -174,25 +224,35 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     suf = jax.lax.fori_loop(0, logb, suffix_round, acc)
 
     # drop bucket 0 (its suffix is the full per-window total, not b·S_b)
-    suf3 = suf.reshape(3 * NLIMBS, G, B)
+    suf3 = suf.reshape(3 * NLIMBS, Ge, B)
     ident_w = jnp.broadcast_to(ident_col[:, None, None],
-                               (3 * NLIMBS, G, 1))
+                               (3 * NLIMBS, Ge, 1))
     suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
         3 * NLIMBS, -1)
 
-    # tree sum over the bucket axis -> [48, G] (kept at full width with a
+    # tree sum over the bucket axis -> [48, Ge] (kept at full width with a
     # shrinking mask so one traced body serves every level)
     def tree_round(i, cur):
         half = jnp.int32(B) >> (i + 1)
-        cur3 = cur.reshape(3 * NLIMBS, G, B)
+        cur3 = cur.reshape(3 * NLIMBS, Ge, B)
         shifted = jnp.roll(cur3, -half, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx < half)[None, :], (G, B))
+        mask = jnp.broadcast_to((bidx < half)[None, :], (Ge, B))
         return padd_masked_flat(df, cur, shifted,
                                 mask.reshape(-1).astype(jnp.uint32),
                                 interpret=interpret)
 
     cur = jax.lax.fori_loop(0, logb, tree_round, suf)
-    wsums = cur.reshape(3 * NLIMBS, G, B)[:, :, 0]       # [48, G]
+    wsums = cur.reshape(3 * NLIMBS, Ge, B)[:, :, 0]      # [48, Ge]
+    if T > 1:
+        # fold the T-1 staggered partial sums back into each top window
+        base = wsums[:, :G]
+        ext = wsums[:, G:].reshape(3 * NLIMBS, m, T - 1)
+        tr = jnp.asarray(top_rows)
+        topsum = base[:, tr]                             # [48, m]
+        for t in range(T - 1):
+            topsum = padd_flat(df, topsum, ext[:, :, t],
+                               interpret=interpret)
+        wsums = base.at[:, tr].set(topsum)
     return jnp.moveaxis(wsums.reshape(3 * NLIMBS, m, W), 1, 0), c
 
 
