@@ -62,6 +62,15 @@ def _load():
     lib.pasta_ntt.argtypes = [ctypes.c_int, u64p, ctypes.c_size_t, u64p]
     lib.pasta_powmul.argtypes = [ctypes.c_int, u64p, ctypes.c_size_t,
                                  u64p, u64p, ctypes.c_size_t]
+    lib.pasta_sswu_init.argtypes = [ctypes.c_int] + [u64p] * 10 + [
+        ctypes.c_int]
+    lib.pasta_hash_to_curve.argtypes = [ctypes.c_int, u8p, ctypes.c_size_t,
+                                        u8p, ctypes.c_size_t, u64p, u64p,
+                                        u8p]
+    lib.pasta_srs_g.argtypes = [ctypes.c_int, u8p, ctypes.c_size_t,
+                                ctypes.c_size_t, u64p, u64p, u8p]
+    lib.pasta_group_ntt.argtypes = [ctypes.c_int, ctypes.c_int, u64p, u64p,
+                                    u8p, ctypes.c_size_t, u64p, u64p]
     _lib = lib
     HAS_NATIVE = True
     return lib
@@ -280,3 +289,108 @@ def native_collapse(spec, k: int, lo_points, hi_points):
                        out_inf.ctypes.data_as(u8p))
     return [None if out_inf[i] else (_unlimbs(out_x[i]), _unlimbs(out_y[i]))
             for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# SSWU hash-to-curve + SRS generation (native/pasta.cc; the native twin of
+# curves/sswu.py — constants are derived there and handed over raw, so the
+# Python implementation remains the behavior oracle).
+# ---------------------------------------------------------------------------
+
+_sswu_configured: set = set()
+
+
+def _ensure_sswu(curve_spec) -> int | None:
+    idx = _ensure_field(curve_spec)
+    if idx is None:
+        return None
+    if idx in _sswu_configured:
+        return idx
+    from .sswu import sswu_params
+    pr = sswu_params(curve_spec.name)
+    f = curve_spec.base
+    t_m1_2 = (f.t_odd - 1) // 2
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    def lp(v):
+        return _limbs(v % f.modulus).ctypes.data_as(u64p)
+
+    _lib.pasta_sswu_init(idx, lp(pr.iso_a), lp(pr.iso_b), lp(pr.z),
+                         lp(pr.ker_x), lp(pr.velu_t), lp(pr.velu_u),
+                         lp(pr.inv9), lp(pr.inv27), lp(f.root_of_unity),
+                         _limbs(t_m1_2).ctypes.data_as(u64p), f.s)
+    _sswu_configured.add(idx)
+    return idx
+
+
+def _dst(curve_spec, domain_prefix: str) -> bytes:
+    return (domain_prefix + "-" + curve_spec.name +
+            "_XMD:BLAKE2b_SSWU_RO_").encode()
+
+
+def native_hash_to_curve(curve_spec, domain_prefix: str, msg: bytes):
+    """hash_to_curve via the native library; False if unavailable."""
+    idx = _ensure_sswu(curve_spec)
+    if idx is None or len(msg) > 64:
+        return False
+    dst = _dst(curve_spec, domain_prefix)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    dst_a = np.frombuffer(dst, np.uint8)
+    msg_a = np.frombuffer(msg, np.uint8) if msg else np.zeros(1, np.uint8)
+    ox = np.zeros(4, np.uint64)
+    oy = np.zeros(4, np.uint64)
+    oinf = np.zeros(1, np.uint8)
+    _lib.pasta_hash_to_curve(idx, dst_a.ctypes.data_as(u8p), len(dst),
+                             msg_a.ctypes.data_as(u8p), len(msg),
+                             ox.ctypes.data_as(u64p),
+                             oy.ctypes.data_as(u64p),
+                             oinf.ctypes.data_as(u8p))
+    if oinf[0] == 2:
+        return False
+    return None if oinf[0] else (_unlimbs(ox), _unlimbs(oy))
+
+
+def native_srs_g(curve_spec, domain_prefix: str, n: int):
+    """The n-point SRS generator vector g[i] = hash(0x00 || LE32(i));
+    list of affine points, or False if the native library is missing."""
+    idx = _ensure_sswu(curve_spec)
+    if idx is None:
+        return False
+    dst = _dst(curve_spec, domain_prefix)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    dst_a = np.frombuffer(dst, np.uint8)
+    ox = np.zeros((n, 4), np.uint64)
+    oy = np.zeros((n, 4), np.uint64)
+    oinf = np.zeros(n, np.uint8)
+    _lib.pasta_srs_g(idx, dst_a.ctypes.data_as(u8p), len(dst), n,
+                     ox.ctypes.data_as(u64p), oy.ctypes.data_as(u64p),
+                     oinf.ctypes.data_as(u8p))
+    return [None if oinf[i] else (_unlimbs(ox[i]), _unlimbs(oy[i]))
+            for i in range(n)]
+
+
+def native_group_ntt(curve_spec, points, omega: int, scale: int = 1):
+    """In the scalar field's evaluation order: radix-2 group NTT of the
+    point vector with twiddle omega, each output scaled by `scale`
+    (pass omega_inv and 1/n for the inverse transform). Returns a list
+    of affine points, or False if the native library is missing."""
+    idx = _ensure_field(curve_spec)
+    if idx is None:
+        return False
+    sidx = 1 - idx  # scalar field of a pasta curve = the OTHER base field
+    # ensure the scalar field constants are loaded too
+    from .host import PALLAS, VESTA
+    _ensure_field(VESTA if idx == 0 else PALLAS)
+    q = curve_spec.scalar.modulus
+    xs, ys, infs = _pack_points(points)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    _lib.pasta_group_ntt(idx, sidx, xs.ctypes.data_as(u64p),
+                         ys.ctypes.data_as(u64p),
+                         infs.ctypes.data_as(u8p), len(points),
+                         _limbs(omega % q).ctypes.data_as(u64p),
+                         _limbs(scale % q).ctypes.data_as(u64p))
+    return [None if infs[i] else (_unlimbs(xs[i]), _unlimbs(ys[i]))
+            for i in range(len(points))]

@@ -282,4 +282,12 @@ def sswu_params(curve_name: str) -> SswuParams:
 
 
 def hash_to_curve(curve: CurveSpec, domain_prefix: str, msg: bytes) -> Point:
+    """Native (C++) fast path with the pure-Python map as fallback and
+    behavior oracle (tests/test_native.py cross-checks the two)."""
+    import os
+    if not os.environ.get("HALO2_TPU_NO_NATIVE") and len(msg) <= 64:
+        from . import native
+        pt = native.native_hash_to_curve(curve, domain_prefix, msg)
+        if pt is not False:
+            return pt
     return sswu_params(curve.name).hash_to_curve(domain_prefix, msg)

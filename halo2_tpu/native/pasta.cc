@@ -657,6 +657,330 @@ void pasta_ntt(int fidx, u64* data, size_t n, const u64 omega_mont[4]) {
   }
 }
 
+// ---- generic modular pow (4x64 raw exponent, Montgomery base) ------------
+static void fpow(const Field& f, const fe a, const u64 e[4], fe out) {
+  fe acc;
+  fcopy(acc, f.one);
+  int top = 255;
+  while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) --top;
+  for (int bit = top; bit >= 0; --bit) {
+    fsqr(f, acc, acc);
+    if ((e[bit / 64] >> (bit % 64)) & 1) fmul(f, acc, a, acc);
+  }
+  fcopy(out, acc);
+}
+
+static inline bool feq(const u64 a[4], const u64 b[4]) {
+  return a[0] == b[0] && a[1] == b[1] && a[2] == b[2] && a[3] == b[3];
+}
+
+// ---- BLAKE2b-512 (RFC 7693; unkeyed) -------------------------------------
+// Used by expand_message_xmd for hash_to_curve / SRS generation —
+// byte-identical to hashlib.blake2b(digest_size=64).
+static const u64 B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+static const uint8_t B2B_SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+static inline u64 rotr64(u64 x, int n) { return (x >> n) | (x << (64 - n)); }
+
+static void b2b_compress(u64 h[8], const uint8_t block[128], u64 t0,
+                         bool last) {
+  u64 m[16], v[16];
+  for (int i = 0; i < 16; ++i) {
+    m[i] = 0;
+    for (int j = 7; j >= 0; --j) m[i] = (m[i] << 8) | block[8 * i + j];
+  }
+  for (int i = 0; i < 8; ++i) v[i] = h[i];
+  for (int i = 0; i < 8; ++i) v[8 + i] = B2B_IV[i];
+  v[12] ^= t0;
+  if (last) v[14] = ~v[14];
+#define B2B_G(a, b, c, d, x, y)            \
+  v[a] = v[a] + v[b] + (x);                \
+  v[d] = rotr64(v[d] ^ v[a], 32);          \
+  v[c] = v[c] + v[d];                      \
+  v[b] = rotr64(v[b] ^ v[c], 24);          \
+  v[a] = v[a] + v[b] + (y);                \
+  v[d] = rotr64(v[d] ^ v[a], 16);          \
+  v[c] = v[c] + v[d];                      \
+  v[b] = rotr64(v[b] ^ v[c], 63);
+  for (int r = 0; r < 12; ++r) {
+    const uint8_t* s = B2B_SIGMA[r];
+    B2B_G(0, 4, 8, 12, m[s[0]], m[s[1]]);
+    B2B_G(1, 5, 9, 13, m[s[2]], m[s[3]]);
+    B2B_G(2, 6, 10, 14, m[s[4]], m[s[5]]);
+    B2B_G(3, 7, 11, 15, m[s[6]], m[s[7]]);
+    B2B_G(0, 5, 10, 15, m[s[8]], m[s[9]]);
+    B2B_G(1, 6, 11, 12, m[s[10]], m[s[11]]);
+    B2B_G(2, 7, 8, 13, m[s[12]], m[s[13]]);
+    B2B_G(3, 4, 9, 14, m[s[14]], m[s[15]]);
+  }
+#undef B2B_G
+  for (int i = 0; i < 8; ++i) h[i] ^= v[i] ^ v[8 + i];
+}
+
+// One-shot blake2b-512 over a contiguous message.
+static void blake2b512(const uint8_t* msg, size_t len, uint8_t out[64]) {
+  u64 h[8];
+  for (int i = 0; i < 8; ++i) h[i] = B2B_IV[i];
+  h[0] ^= 0x01010040ULL;  // depth=1, fanout=1, outlen=64
+  size_t off = 0;
+  while (len - off > 128) {
+    b2b_compress(h, msg + off, (u64)(off + 128), false);
+    off += 128;
+  }
+  uint8_t block[128];
+  memset(block, 0, 128);
+  memcpy(block, msg + off, len - off);
+  b2b_compress(h, block, (u64)len, true);
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) out[8 * i + j] = (uint8_t)(h[i] >> (8 * j));
+}
+
+// ---- SSWU hash-to-curve (pasta_curves hashtocurve.rs; curves/sswu.py) ----
+// Constants arrive from Python in raw form at init; everything below is
+// field-op identical to the host-Python oracle in curves/sswu.py.
+struct SswuCtx {
+  fe iso_a, iso_b, z, ker_x, velu_t, velu_u, inv9, inv27;  // Montgomery
+  fe x1_den0;     // B / (Z*A), the den==0 branch of map_to_curve
+  fe neg_b_a;     // -B / A
+  fe root;        // ROOT_OF_UNITY (2^S-th root), Montgomery
+  fe r3;          // R^3 mod p, for from_uniform_bytes' high half
+  u64 t_m1_2[4];  // (t-1)/2 raw, p - 1 = 2^S * t with t odd
+  int s;
+  bool init;
+};
+static SswuCtx SSWU[2];
+
+// Tonelli–Shanks square root. Returns false if `a` is a non-residue.
+static bool fsqrt(const Field& f, const SswuCtx& c, const fe a, fe out) {
+  if (fzero(a)) {
+    memset(out, 0, 32);
+    return true;
+  }
+  fe w, x, b, zr;
+  fpow(f, a, c.t_m1_2, w);   // a^((t-1)/2)
+  fmul(f, a, w, x);          // a^((t+1)/2)
+  fmul(f, x, w, b);          // a^t
+  fcopy(zr, c.root);
+  int v = c.s;
+  while (!feq(b, f.one)) {
+    int k = 0;
+    fe tmp;
+    fcopy(tmp, b);
+    while (!feq(tmp, f.one)) {
+      fsqr(f, tmp, tmp);
+      if (++k > 64) return false;  // safety: not in the 2-Sylow subgroup
+    }
+    if (k >= v) return false;  // b has full 2^v order -> non-residue
+    fe wz;
+    fcopy(wz, zr);
+    for (int i = 0; i < v - k - 1; ++i) fsqr(f, wz, wz);
+    fmul(f, x, wz, x);
+    fsqr(f, wz, zr);
+    fmul(f, b, zr, b);
+    v = k;
+  }
+  fe chk;
+  fsqr(f, x, chk);
+  if (!feq(chk, a)) return false;
+  fcopy(out, x);
+  return true;
+}
+
+// 64 uniform bytes (big-endian, i.e. the pasta chunk-reversal quirk already
+// applied by reading BE) -> Montgomery field element: (d0 + d1*2^256) mod p.
+static void from_uniform_be64(const Field& f, const SswuCtx& c,
+                              const uint8_t bytes[64], fe out) {
+  u64 d[8];  // little-endian limbs of the BE-interpreted integer
+  for (int i = 0; i < 8; ++i) {
+    u64 v = 0;
+    for (int j = 0; j < 8; ++j) v = (v << 8) | bytes[64 - 8 * (i + 1) + j];
+    d[i] = v;
+  }
+  fe lo, hi;
+  fmul(f, d, f.r2, lo);       // d0 * R
+  fmul(f, d + 4, c.r3, hi);   // d1 * R^2 = (d1 * 2^256) * R
+  fadd(f, lo, hi, out);
+}
+
+// map_to_curve_simple_swu onto the iso-curve (curves/sswu.py::map_to_iso).
+static void sswu_map_to_iso(const Field& f, const SswuCtx& c, const fe u,
+                            fe ox, fe oy) {
+  fe tv1, tv2, den, x1, gx, y, t;
+  fsqr(f, u, tv1);
+  fmul(f, c.z, tv1, tv1);      // Z u^2
+  fsqr(f, tv1, tv2);           // Z^2 u^4
+  fadd(f, tv1, tv2, den);
+  if (fzero(den)) {
+    fcopy(x1, c.x1_den0);
+  } else {
+    finv(f, den, t);
+    fadd(f, t, f.one, t);
+    fmul(f, c.neg_b_a, t, x1);
+  }
+  // g(x1) = x1^3 + A x1 + B
+  fsqr(f, x1, gx);
+  fmul(f, gx, x1, gx);
+  fmul(f, c.iso_a, x1, t);
+  fadd(f, gx, t, gx);
+  fadd(f, gx, c.iso_b, gx);
+  fe x;
+  if (fsqrt(f, c, gx, y)) {
+    fcopy(x, x1);
+  } else {
+    fmul(f, tv1, x1, x);       // x2 = Z u^2 x1
+    fsqr(f, x, gx);
+    fmul(f, gx, x, gx);
+    fmul(f, c.iso_a, x, t);
+    fadd(f, gx, t, gx);
+    fadd(f, gx, c.iso_b, gx);
+    fsqrt(f, c, gx, y);        // must be square now
+  }
+  // sgn0 parity match between raw u and raw y
+  u64 uraw[4], yraw[4];
+  from_mont(f, u, uraw);
+  from_mont(f, y, yraw);
+  if ((yraw[0] & 1) != (uraw[0] & 1)) {
+    fe ny;
+    memset(ny, 0, 32);
+    fsub(f, ny, y, y);
+  }
+  fcopy(ox, x);
+  fcopy(oy, y);
+}
+
+// Affine addition on the iso-curve E': y^2 = x^3 + a x + b (a != 0).
+// inf flags mark identity; returns via out/out_inf.
+static void iso_affine_add(const Field& f, const fe a_coef, const fe x1,
+                           const fe y1, bool i1, const fe x2, const fe y2,
+                           bool i2, fe ox, fe oy, bool* oinf) {
+  if (i1) { fcopy(ox, x2); fcopy(oy, y2); *oinf = i2; return; }
+  if (i2) { fcopy(ox, x1); fcopy(oy, y1); *oinf = i1; return; }
+  fe lam, t, t2;
+  if (feq(x1, x2)) {
+    fe s;
+    fadd(f, y1, y2, s);
+    if (fzero(s)) { *oinf = true; memset(ox, 0, 32); memset(oy, 0, 32); return; }
+    // lam = (3 x1^2 + a) / (2 y1)
+    fsqr(f, x1, t);
+    fadd(f, t, t, t2);
+    fadd(f, t2, t, t2);
+    fadd(f, t2, a_coef, t2);
+    fadd(f, y1, y1, t);
+    finv(f, t, t);
+    fmul(f, t2, t, lam);
+  } else {
+    fsub(f, y2, y1, t2);
+    fsub(f, x2, x1, t);
+    finv(f, t, t);
+    fmul(f, t2, t, lam);
+  }
+  fe x3, y3;
+  fsqr(f, lam, x3);
+  fsub(f, x3, x1, x3);
+  fsub(f, x3, x2, x3);
+  fsub(f, x1, x3, t);
+  fmul(f, lam, t, y3);
+  fsub(f, y3, y1, y3);
+  fcopy(ox, x3);
+  fcopy(oy, y3);
+  *oinf = false;
+}
+
+// Degree-3 isogeny E' -> E (curves/sswu.py::iso_map).
+static void iso_map(const Field& f, const SswuCtx& c, const fe x, const fe y,
+                    bool inf, fe ox, fe oy, bool* oinf) {
+  if (inf) { *oinf = true; memset(ox, 0, 32); memset(oy, 0, 32); return; }
+  fe d, dinv, dinv2, X, Xp, t;
+  fsub(f, x, c.ker_x, d);
+  if (fzero(d)) { *oinf = true; memset(ox, 0, 32); memset(oy, 0, 32); return; }
+  finv(f, d, dinv);
+  fsqr(f, dinv, dinv2);
+  // X = x + t*dinv + u*dinv^2
+  fmul(f, c.velu_t, dinv, X);
+  fadd(f, X, x, X);
+  fmul(f, c.velu_u, dinv2, t);
+  fadd(f, X, t, X);
+  // X' = 1 - t*dinv^2 - 2u*dinv^3
+  fmul(f, c.velu_t, dinv2, Xp);
+  fe one_;
+  fcopy(one_, f.one);
+  fsub(f, one_, Xp, Xp);
+  fmul(f, dinv2, dinv, t);
+  fmul(f, c.velu_u, t, t);
+  fadd(f, t, t, t);
+  fsub(f, Xp, t, Xp);
+  fmul(f, X, c.inv9, ox);
+  fmul(f, y, Xp, t);
+  fmul(f, t, c.inv27, oy);
+  *oinf = false;
+}
+
+// expand_message_xmd(msg, dst, 128) with BLAKE2b-512 (RFC 9380 §5.3.1),
+// then two reversed-chunk field reductions + SSWU + iso add + isogeny.
+static void hash_to_curve_one(const Field& f, const SswuCtx& c,
+                              const uint8_t* dst, size_t dst_len,
+                              const uint8_t* msg, size_t msg_len,
+                              u64 ox[4], u64 oy[4], uint8_t* oinf) {
+  // b0 = H(z_pad || msg || l_i_b || 0x00 || dst')
+  uint8_t buf[128 + 64 + 3 + 256];
+  size_t off = 0;
+  memset(buf, 0, 128);
+  off = 128;
+  memcpy(buf + off, msg, msg_len);
+  off += msg_len;
+  buf[off++] = 0;  // len_in_bytes = 128 big-endian
+  buf[off++] = 128;
+  buf[off++] = 0;  // i = 0
+  memcpy(buf + off, dst, dst_len);
+  off += dst_len;
+  buf[off++] = (uint8_t)dst_len;
+  uint8_t b0[64], b1[64], b2[64];
+  blake2b512(buf, off, b0);
+  // b1 = H(b0 || 0x01 || dst')
+  memcpy(buf, b0, 64);
+  buf[64] = 1;
+  memcpy(buf + 65, dst, dst_len);
+  buf[65 + dst_len] = (uint8_t)dst_len;
+  blake2b512(buf, 66 + dst_len, b1);
+  // b2 = H((b0^b1) || 0x02 || dst')
+  for (int i = 0; i < 64; ++i) buf[i] = b0[i] ^ b1[i];
+  buf[64] = 2;
+  blake2b512(buf, 66 + dst_len, b2);
+
+  fe u0, u1, qx0, qy0, qx1, qy1, sx, sy, rx, ry;
+  from_uniform_be64(f, c, b1, u0);
+  from_uniform_be64(f, c, b2, u1);
+  sswu_map_to_iso(f, c, u0, qx0, qy0);
+  sswu_map_to_iso(f, c, u1, qx1, qy1);
+  bool sinf, rinf;
+  iso_affine_add(f, c.iso_a, qx0, qy0, false, qx1, qy1, false, sx, sy, &sinf);
+  iso_map(f, c, sx, sy, sinf, rx, ry, &rinf);
+  *oinf = rinf ? 1 : 0;
+  if (rinf) {
+    memset(ox, 0, 32);
+    memset(oy, 0, 32);
+  } else {
+    from_mont(f, rx, ox);
+    from_mont(f, ry, oy);
+  }
+}
+
 // data[i] *= scale * base^(i mod period)   (period = 0 means base^i),
 // all Montgomery. Covers the iFFT 1/n divisor (period=1), the zeta-coset
 // distribution (period=3: 1, z, z^2 — domain.rs:357-373), and general
@@ -674,6 +998,169 @@ void pasta_powmul(int fidx, u64* data, size_t n, const u64 base_mont[4],
 #pragma omp parallel for schedule(static)
   for (size_t i = 0; i < n; ++i)
     fmul(f, data + 4 * i, &pw[4 * (i % m)], data + 4 * i);
+}
+
+// Initialize the SSWU context for curve `cidx` (= its base-field index).
+// All inputs raw little-endian; (t-1)/2 and S define the Tonelli–Shanks
+// decomposition p - 1 = 2^S * t.
+void pasta_sswu_init(int cidx, const u64 iso_a[4], const u64 iso_b[4],
+                     const u64 z[4], const u64 ker_x[4], const u64 velu_t[4],
+                     const u64 velu_u[4], const u64 inv9[4],
+                     const u64 inv27[4], const u64 root[4],
+                     const u64 t_m1_2[4], int s) {
+  const Field& f = FIELDS[cidx];
+  SswuCtx& c = SSWU[cidx];
+  to_mont(f, iso_a, c.iso_a);
+  to_mont(f, iso_b, c.iso_b);
+  to_mont(f, z, c.z);
+  to_mont(f, ker_x, c.ker_x);
+  to_mont(f, velu_t, c.velu_t);
+  to_mont(f, velu_u, c.velu_u);
+  to_mont(f, inv9, c.inv9);
+  to_mont(f, inv27, c.inv27);
+  to_mont(f, root, c.root);
+  memcpy(c.t_m1_2, t_m1_2, 32);
+  c.s = s;
+  fmul(f, f.r2, f.r2, c.r3);  // R^3 mod p
+  // x1_den0 = B / (Z*A); neg_b_a = -B / A
+  fe t;
+  fmul(f, c.z, c.iso_a, t);
+  finv(f, t, t);
+  fmul(f, c.iso_b, t, c.x1_den0);
+  finv(f, c.iso_a, t);
+  fmul(f, c.iso_b, t, c.neg_b_a);
+  fe zero;
+  memset(zero, 0, 32);
+  fsub(f, zero, c.neg_b_a, c.neg_b_a);
+  c.init = true;
+}
+
+// Hash one message to a curve point (raw affine out). msg_len <= 64.
+void pasta_hash_to_curve(int cidx, const uint8_t* dst, size_t dst_len,
+                         const uint8_t* msg, size_t msg_len, u64 ox[4],
+                         u64 oy[4], uint8_t* oinf) {
+  if (msg_len > 64 || dst_len > 255) { *oinf = 2; return; }
+  hash_to_curve_one(FIELDS[cidx], SSWU[cidx], dst, dst_len, msg, msg_len,
+                    ox, oy, oinf);
+}
+
+// The SRS generator vector: n points with msg = 0x00 || LE32(i)
+// (poly/commitment.rs:38-74). Raw affine outputs.
+void pasta_srs_g(int cidx, const uint8_t* dst, size_t dst_len, size_t n,
+                 u64* ox, u64* oy, uint8_t* oinf) {
+  const Field& f = FIELDS[cidx];
+  const SswuCtx& c = SSWU[cidx];
+#pragma omp parallel for schedule(dynamic, 64)
+  for (size_t i = 0; i < n; ++i) {
+    uint8_t msg[5] = {0, (uint8_t)i, (uint8_t)(i >> 8), (uint8_t)(i >> 16),
+                      (uint8_t)(i >> 24)};
+    hash_to_curve_one(f, c, dst, dst_len, msg, 5, ox + 4 * i, oy + 4 * i,
+                      oinf + i);
+  }
+}
+
+// Group-valued radix-2 NTT over curve points (commitment.rs:75-100's
+// g_lagrange construction; same butterflies as best_fft but with point
+// add and twiddle scalar-muls). Points raw affine in/out; omega and the
+// final per-point scale factor are raw SCALAR-field values (pass
+// scale = 1 to skip scaling). sfidx selects the scalar field for
+// twiddle-table generation.
+void pasta_group_ntt(int cidx, int sfidx, u64* xs, u64* ys, uint8_t* infs,
+                     size_t n, const u64 omega_raw[4], const u64 scale_raw[4]) {
+  const Field& f = FIELDS[cidx];
+  const Field& sf = FIELDS[sfidx];
+  int logn = 0;
+  while ((size_t(1) << logn) < n) ++logn;
+  // Jacobian working array, bit-reversed load.
+  std::vector<Jac> pts(n);
+  for (size_t i = 0; i < n; ++i) {
+    size_t r = 0;
+    for (int b = 0; b < logn; ++b) r |= ((i >> b) & 1) << (logn - 1 - b);
+    if (infs[i]) {
+      memset(&pts[r], 0, sizeof(Jac));
+    } else {
+      to_mont(f, xs + 4 * i, pts[r].X);
+      to_mont(f, ys + 4 * i, pts[r].Y);
+      fcopy(pts[r].Z, f.one);
+    }
+  }
+  // raw twiddle table: omega^j for j < n/2 (scalar field)
+  std::vector<u64> tw(n >= 2 ? 4 * (n / 2) : 4);
+  {
+    fe om, acc;
+    to_mont(sf, omega_raw, om);
+    fcopy(acc, sf.one);
+    from_mont(sf, acc, &tw[0]);
+    for (size_t j = 1; j < n / 2; ++j) {
+      fmul(sf, acc, om, acc);
+      from_mont(sf, acc, &tw[4 * j]);
+    }
+  }
+  for (size_t m = 2; m <= n; m <<= 1) {
+    size_t half = m / 2, step = n / m, pairs = n / 2;
+#pragma omp parallel for schedule(static)
+    for (size_t idx = 0; idx < pairs; ++idx) {
+      size_t blk = idx / half, j = idx % half;
+      Jac& lo = pts[blk * m + j];
+      Jac& hi = pts[blk * m + j + half];
+      Jac t;
+      if (j == 0) {
+        t = hi;
+      } else {
+        jmul(f, hi, &tw[4 * (j * step)], t);
+      }
+      Jac nlo, nhi;
+      jadd(f, lo, t, nlo);
+      // hi' = lo - t
+      Jac negt = t;
+      if (!fzero(negt.Z)) {
+        fe z0;
+        memset(z0, 0, 32);
+        fsub(f, z0, negt.Y, negt.Y);
+      }
+      jadd(f, lo, negt, nhi);
+      lo = nlo;
+      hi = nhi;
+    }
+  }
+  const u64 one_raw[4] = {1, 0, 0, 0};
+  if (!feq(scale_raw, one_raw)) {
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < n; ++i) {
+      Jac t;
+      jmul(f, pts[i], scale_raw, t);
+      pts[i] = t;
+    }
+  }
+  // batch-normalize to raw affine
+  std::vector<u64> prefix(4 * (n + 1));
+  fcopy(&prefix[0], f.one);
+  for (size_t i = 0; i < n; ++i) {
+    if (fzero(pts[i].Z))
+      fcopy(&prefix[4 * (i + 1)], &prefix[4 * i]);
+    else
+      fmul(f, &prefix[4 * i], pts[i].Z, &prefix[4 * (i + 1)]);
+  }
+  fe inv;
+  finv(f, &prefix[4 * n], inv);
+  for (size_t i = n; i-- > 0;) {
+    if (fzero(pts[i].Z)) {
+      infs[i] = 1;
+      memset(xs + 4 * i, 0, 32);
+      memset(ys + 4 * i, 0, 32);
+      continue;
+    }
+    fe zinv, zinv2, t;
+    fmul(f, inv, &prefix[4 * i], zinv);
+    fmul(f, inv, pts[i].Z, inv);
+    fsqr(f, zinv, zinv2);
+    fmul(f, pts[i].X, zinv2, t);
+    from_mont(f, t, xs + 4 * i);
+    fmul(f, zinv2, zinv, zinv2);
+    fmul(f, pts[i].Y, zinv2, t);
+    from_mont(f, t, ys + 4 * i);
+    infs[i] = 0;
+  }
 }
 
 }  // extern "C"

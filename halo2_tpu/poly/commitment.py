@@ -66,10 +66,17 @@ class Params:
             with open(cache, "rb") as fh:
                 return cls.read(curve, fh.read())
         n = 1 << k
-        g = []
-        for i in range(n):
-            msg = b"\x00" + int(i).to_bytes(4, "little")
-            g.append(hash_to_curve(curve, "Halo2-Parameters", msg))
+        g = None
+        if not os.environ.get("HALO2_TPU_NO_NATIVE"):
+            from ..curves import native
+            res = native.native_srs_g(curve, "Halo2-Parameters", n)
+            if res is not False:
+                g = res
+        if g is None:
+            g = []
+            for i in range(n):
+                msg = b"\x00" + int(i).to_bytes(4, "little")
+                g.append(hash_to_curve(curve, "Halo2-Parameters", msg))
         w = hash_to_curve(curve, "Halo2-Parameters", b"\x01")
         u = hash_to_curve(curve, "Halo2-Parameters", b"\x02")
         g_lagrange = cls._build_lagrange(curve, k, g)
@@ -91,6 +98,11 @@ class Params:
         omega = pow(fs.root_of_unity, 1 << (fs.s - k), fs.modulus)
         omega_inv = pow(omega, fs.modulus - 2, fs.modulus)
         minv = pow(n, fs.modulus - 2, fs.modulus)
+        if not os.environ.get("HALO2_TPU_NO_NATIVE"):
+            from ..curves import native
+            res = native.native_group_ntt(curve, g, omega_inv, minv)
+            if res is not False:
+                return res
         from ..ops.msm import HOST_MSM_THRESHOLD
         # The host path is exact and takes ~tens of seconds up to
         # n = 4096; the device group-NTT's XLA graph at these sizes is

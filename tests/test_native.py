@@ -109,3 +109,52 @@ def test_native_ipa_session_matches_oracle_proof_bytes():
     assert p_native == p_oracle
     t = TranscriptRead(PALLAS, p_native)
     verify_proof(params, vk, SingleVerifier(params), [[[pub]]], t)  # raises
+
+
+def test_native_hash_to_curve_matches_python_oracle():
+    """Native SSWU (BLAKE2b expand + map + isogeny) must be byte-exact
+    against the derived pure-Python map in curves/sswu.py."""
+    if native._load() is None:
+        pytest.skip("no native toolchain")
+    from halo2_tpu.curves.sswu import sswu_params
+    from halo2_tpu.curves import VESTA
+    for curve in (PALLAS, VESTA):
+        oracle = sswu_params(curve.name)
+        for msg in (b"\x01", b"\x02", b"",
+                    b"\x00" + (0).to_bytes(4, "little"),
+                    b"\x00" + (12345).to_bytes(4, "little")):
+            want = oracle.hash_to_curve("Halo2-Parameters", msg)
+            got = native.native_hash_to_curve(curve, "Halo2-Parameters",
+                                              msg)
+            assert got == want
+
+
+def test_native_srs_g_matches_python_oracle():
+    if native._load() is None:
+        pytest.skip("no native toolchain")
+    from halo2_tpu.curves.sswu import sswu_params
+    n = 64
+    g = native.native_srs_g(PALLAS, "Halo2-Parameters", n)
+    oracle = sswu_params("pallas")
+    for i in (0, 1, 31, 63):
+        want = oracle.hash_to_curve(
+            "Halo2-Parameters", b"\x00" + i.to_bytes(4, "little"))
+        assert g[i] == want
+
+
+def test_native_group_ntt_matches_host_intt():
+    """The native group-valued iNTT must match the exact host butterfly
+    path used for g_lagrange (commitment.rs:75-100)."""
+    if native._load() is None:
+        pytest.skip("no native toolchain")
+    from halo2_tpu.poly.commitment import Params
+    k = 4
+    n = 1 << k
+    fs = PALLAS.scalar
+    g = [PALLAS.mul(PALLAS.generator, i + 3) for i in range(n)]
+    omega = pow(fs.root_of_unity, 1 << (fs.s - k), fs.modulus)
+    omega_inv = pow(omega, fs.modulus - 2, fs.modulus)
+    minv = pow(n, fs.modulus - 2, fs.modulus)
+    want = Params._host_group_intt(PALLAS, g, omega_inv, minv)
+    got = native.native_group_ntt(PALLAS, g, omega_inv, minv)
+    assert got == want
