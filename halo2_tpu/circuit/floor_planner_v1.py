@@ -231,27 +231,48 @@ class V1Layouter(Layouter):
         self.cs_assignment.pop_namespace(gadget_name)
 
 
-def synthesize_v1(cs_assignment, circuit, config, constants: list[Column]
+class V1Plan:
+    """Recorded V1 layout (region starts + constant positions): lets a
+    re-synthesis of the same circuit shape skip the measurement pass and
+    the first-fit solve (the layout depends only on the shape,
+    v1.rs:60-141)."""
+
+    __slots__ = ("regions", "positions")
+
+    def __init__(self, regions, positions):
+        self.regions = regions
+        self.positions = positions
+
+
+def synthesize_v1(cs_assignment, circuit, config, constants: list[Column],
+                  plan: V1Plan | None = None, plan_out: dict | None = None
                   ) -> None:
     """FloorPlanner::synthesize for V1 (v1.rs:60-141)."""
     from ..plonk.error import NotEnoughColumnsForConstants
 
     layouter = V1Layouter(cs_assignment, constants)
-    # pass 1: measurement on the witness-free circuit
-    circuit.without_witnesses().synthesize(config, layouter)
-    regions, column_allocations = slot_in_biggest_advice_first(
-        layouter.shapes)
+    if plan is not None:
+        regions, positions = plan.regions, plan.positions
+    else:
+        # pass 1: measurement on the witness-free circuit
+        circuit.without_witnesses().synthesize(config, layouter)
+        regions, column_allocations = slot_in_biggest_advice_first(
+            layouter.shapes)
 
-    first_unassigned_row = max(
-        (a.unbounded_interval_start() for a in column_allocations.values()),
-        default=0)
+        first_unassigned_row = max(
+            (a.unbounded_interval_start()
+             for a in column_allocations.values()), default=0)
 
-    def constant_positions():
-        for c in constants:
-            alloc = column_allocations.get(c, Allocations())
-            for s, e in alloc.free_intervals(0, first_unassigned_row):
-                for i in range(s, e):
-                    yield (c, i)
+        def constant_positions():
+            for c in constants:
+                alloc = column_allocations.get(c, Allocations())
+                for s, e in alloc.free_intervals(0, first_unassigned_row):
+                    for i in range(s, e):
+                        yield (c, i)
+
+        positions = list(constant_positions())
+        if plan_out is not None:
+            plan_out["v1"] = V1Plan(regions, positions)
 
     # pass 2: assignment
     layouter.phase = "assign"

@@ -22,17 +22,38 @@ from ..plonk.assigned import Assigned
 from .value import Value, SynthesisError
 
 
-@dataclass(frozen=True)
 class Cell:
-    region_index: int
-    row_offset: int
-    column: Column
+    """(region, offset, column) handle — __slots__ plain class rather
+    than a dataclass: Cells are built once per assigned cell on the
+    synthesis hot path."""
+
+    __slots__ = ("region_index", "row_offset", "column")
+
+    def __init__(self, region_index: int, row_offset: int, column: Column):
+        self.region_index = region_index
+        self.row_offset = row_offset
+        self.column = column
+
+    def __eq__(self, other):
+        return (isinstance(other, Cell)
+                and self.region_index == other.region_index
+                and self.row_offset == other.row_offset
+                and self.column == other.column)
+
+    def __hash__(self):
+        return hash((self.region_index, self.row_offset, self.column))
+
+    def __repr__(self):
+        return (f"Cell(region_index={self.region_index}, "
+                f"row_offset={self.row_offset}, column={self.column})")
 
 
-@dataclass
 class AssignedCell:
-    value: Value
-    cell: Cell
+    __slots__ = ("value", "cell")
+
+    def __init__(self, value: Value, cell: Cell):
+        self.value = value
+        self.cell = cell
 
     def copy_advice(self, annotation, region: "Region", column: Column,
                     offset: int) -> "AssignedCell":
@@ -41,6 +62,9 @@ class AssignedCell:
                                         lambda: self.value)
         region.constrain_equal(assigned.cell, self.cell)
         return assigned
+
+    def __repr__(self):
+        return f"AssignedCell(value={self.value!r}, cell={self.cell!r})"
 
 
 # RegionColumn: a Column or a Selector (layouter.rs:126-161)
@@ -263,17 +287,17 @@ class _SingleChipRegion:
             annotation, selector, self._abs(offset))
 
     def assign_advice(self, annotation, column, offset, to):
-        value_holder = {}
+        value_holder = [None]
 
         def wrapped():
             v = to()
             v = v if isinstance(v, Value) else Value.known(v)
-            value_holder["v"] = v
+            value_holder[0] = v
             return v
 
         self.layouter.cs_assignment.assign_advice(
             annotation, column, self._abs(offset), wrapped)
-        return AssignedCell(value_holder.get("v", Value.unknown()),
+        return AssignedCell(value_holder[0] or Value.unknown(),
                             Cell(self.region_index, offset, column))
 
     def assign_advice_from_constant(self, annotation, column, offset,
@@ -313,31 +337,56 @@ class _SingleChipRegion:
             self.layouter.regions[right.region_index] + right.row_offset)
 
 
+class SimplePlan:
+    """Recorded layout of one SingleChipLayouter synthesis: per-region
+    start rows and per-region first constants rows. Layout depends only
+    on the circuit *shape* (the measurement pass ignores witness values
+    — the same contract floor_planner V1's dual-pass relies on,
+    v1.rs:60-141), so a plan recorded once (e.g. at keygen) lets every
+    later proof of the same circuit skip the measurement pass."""
+
+    __slots__ = ("starts", "const_starts")
+
+    def __init__(self):
+        self.starts: list[int] = []
+        self.const_starts: list[int] = []
+
+
 class SingleChipLayouter(Layouter):
     """SimpleFloorPlanner: single-pass measure-then-assign per region
-    (single_pass.rs:26-216)."""
+    (single_pass.rs:26-216). Pass a previously recorded `plan` to skip
+    the measurement pass (witness-only re-synthesis in the prover)."""
 
-    def __init__(self, cs_assignment, constants: list[Column]):
+    def __init__(self, cs_assignment, constants: list[Column],
+                 plan: SimplePlan | None = None):
         self.cs_assignment = cs_assignment
         self.constants = constants
         self.regions: list[int] = []       # region_index -> start row
         self.columns: dict = {}            # RegionColumn -> first free row
         self.table_columns: list[TableColumn] = []
+        self.plan = plan
+        self.recorded = SimplePlan()
 
     def assign_region(self, name, assignment):
         region_index = len(self.regions)
 
-        # measurement pass
-        shape = RegionShape(region_index)
-        assignment(Region(shape))
+        if self.plan is not None:
+            region_start = self.plan.starts[region_index]
+            self.regions.append(region_start)
+        else:
+            # measurement pass
+            shape = RegionShape(region_index)
+            assignment(Region(shape))
 
-        # layout: first free row across all used columns
-        region_start = 0
-        for column in shape.columns:
-            region_start = max(region_start, self.columns.get(column, 0))
-        self.regions.append(region_start)
-        for column in shape.columns:
-            self.columns[column] = region_start + shape.row_count
+            # layout: first free row across all used columns
+            region_start = 0
+            for column in shape.columns:
+                region_start = max(region_start,
+                                   self.columns.get(column, 0))
+            self.regions.append(region_start)
+            for column in shape.columns:
+                self.columns[column] = region_start + shape.row_count
+        self.recorded.starts.append(region_start)
 
         # assignment pass
         self.cs_assignment.enter_region(name)
@@ -350,7 +399,11 @@ class SingleChipLayouter(Layouter):
             if not self.constants:
                 raise SynthesisError("no constants columns configured")
             constants_column = self.constants[0]
-            next_constant_row = self.columns.get(constants_column, 0)
+            if self.plan is not None:
+                next_constant_row = self.plan.const_starts[region_index]
+            else:
+                next_constant_row = self.columns.get(constants_column, 0)
+            self.recorded.const_starts.append(next_constant_row)
             for constant, advice_cell in region.constants:
                 self.cs_assignment.assign_fixed(
                     "constant", constants_column, next_constant_row,
@@ -361,7 +414,10 @@ class SingleChipLayouter(Layouter):
                     self.regions[advice_cell.region_index]
                     + advice_cell.row_offset)
                 next_constant_row += 1
-            self.columns[constants_column] = next_constant_row
+            if self.plan is None:
+                self.columns[constants_column] = next_constant_row
+        else:
+            self.recorded.const_starts.append(-1)
 
         return result
 

@@ -33,6 +33,8 @@ R = 1 << (NLIMBS * LIMB_BITS)  # Montgomery radix 2^256
 
 U32 = jnp.uint32
 
+_UPLOAD_JIT: dict = {}  # DeviceField id -> jitted widen+to-mont upload fn
+
 
 def int_to_limbs(v: int) -> np.ndarray:
     """Python int -> uint32[16] little-endian 16-bit digits (numpy, host)."""
@@ -95,6 +97,30 @@ class DeviceField:
         """Single field element (int, NOT in Montgomery form) -> device."""
         p = self.spec.modulus
         return jnp.asarray(int_to_limbs(v % p * R % p))
+
+    def upload_values(self, values) -> jnp.ndarray:
+        """Python ints (canonical) -> [n, 16] Montgomery device array.
+        The wire format is packed 16-bit digits (32 B per element, half
+        the u32 limb array — the host->device tunnel is the prover's
+        bandwidth bottleneck) and the widen + Montgomery conversion is
+        one fused on-device dispatch instead of per-element host bigint
+        multiplies."""
+        p = self.spec.modulus
+        buf = b"".join((int(v) % p).to_bytes(32, "little") for v in values)
+        a16 = np.frombuffer(buf, np.uint16).reshape(-1, NLIMBS)
+        import jax
+        fn = _UPLOAD_JIT.get(id(self))
+        if fn is None:
+            r2 = int_to_limbs(self.r2_mod_p)
+
+            def impl(x16):
+                x = x16.astype(U32)
+                r2b = jnp.broadcast_to(jnp.asarray(r2), x.shape)
+                return fmul(self, x, r2b)
+
+            fn = jax.jit(impl)
+            _UPLOAD_JIT[id(self)] = fn
+        return fn(jnp.asarray(a16))
 
     def zeros(self, shape=()) -> jnp.ndarray:
         return jnp.zeros(tuple(shape) + (NLIMBS,), dtype=U32)

@@ -187,22 +187,78 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
 
     starts_i = starts_e.astype(jnp.int32)
 
-    def cond(state):
-        r, _ = state
-        return r < maxc
+    def _serial_runs(_):
+        """One add per (row, bucket) run member per round; rounds = max
+        run length. Optimal for near-uniform digit distributions
+        (runs ≈ n/B)."""
+        def cond(state):
+            r, _ = state
+            return r < maxc
 
-    def body(state):
-        r, acc = state
-        idx = jnp.minimum(starts_i + r, n - 1)           # [Ge, B]
-        valid = (r < counts_e).reshape(-1)               # [Ge*B]
-        gidx = jnp.take_along_axis(order_e, idx, axis=1)
-        P = jnp.take(pts, gidx.reshape(-1), axis=1)      # [48, Ge*B]
-        acc = padd_masked_flat(df, acc, P,
-                               valid.astype(jnp.uint32),
-                               interpret=interpret)
-        return r + 1, acc
+        def body(state):
+            r, acc = state
+            idx = jnp.minimum(starts_i + r, n - 1)       # [Ge, B]
+            valid = (r < counts_e).reshape(-1)           # [Ge*B]
+            gidx = jnp.take_along_axis(order_e, idx, axis=1)
+            P = jnp.take(pts, gidx.reshape(-1), axis=1)  # [48, Ge*B]
+            acc = padd_masked_flat(df, acc, P,
+                                   valid.astype(jnp.uint32),
+                                   interpret=interpret)
+            return r + 1, acc
 
-    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+        _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+        return acc
+
+    def _segmented_scan(_):
+        """Log-depth fallback for SKEWED digit distributions (few
+        distinct scalar values — selector/fixed columns, structured
+        witnesses): a Hillis-Steele segmented scan over the sorted
+        point array reduces every run in ceil(log2 maxrun) rounds of
+        one [48, G·n] masked add, where the serial loop would need
+        `maxrun` rounds (up to n for an all-equal column)."""
+        psort = jnp.take(pts, order.reshape(-1), axis=1)  # [48, G*n]
+        pos = jnp.arange(n, dtype=jnp.int32)[None, :]     # [1, n]
+        maxc_full = jnp.max(eff_counts)  # UNSPLIT max run length
+
+        def scond(state):
+            d, _ = state
+            return d < maxc_full
+
+        def sbody(state):
+            d, cur = state
+            cur3 = cur.reshape(3 * NLIMBS, G, n)
+            shifted = jnp.roll(cur3, d, axis=2).reshape(3 * NLIMBS, -1)
+            same = jnp.roll(ds, d, axis=1) == ds          # [G, n]
+            mask = same & (pos >= d)
+            cur = padd_masked_flat(df, cur, shifted,
+                                   mask.reshape(-1).astype(jnp.uint32),
+                                   interpret=interpret)
+            return d * 2, cur
+
+        _, scanned = jax.lax.while_loop(scond, sbody,
+                                        (jnp.int32(1), psort))
+        # run-end positions hold full run sums -> [48, G*B]
+        endpos = jnp.maximum(ends - 1, 0)                 # [G, B]
+        flat = (jnp.arange(G, dtype=jnp.int32)[:, None] * n
+                + endpos).reshape(-1)
+        sums = jnp.take(scanned, flat, axis=1)            # [48, G*B]
+        nonempty = (eff_counts > 0).reshape(-1)
+        idw = jnp.broadcast_to(ident_col[:, None], sums.shape)
+        sums = jnp.where(nonempty[None, :], sums, idw)
+        if Ge > G:
+            # expand to the split-row layout: extra sub-rows contribute
+            # identity (their work is already in the base rows here)
+            pad = jnp.broadcast_to(ident_col[:, None],
+                                   (3 * NLIMBS, (Ge - G) * B))
+            sums = jnp.concatenate([sums, pad], axis=1)
+        return sums
+
+    # Crossover: serial cost ≈ maxrun·(Ge·B) lane-adds, scan cost ≈
+    # ceil(log2 maxrun)·(G·n). Pick per input at runtime — one compiled
+    # graph, lax.cond executes a single branch on TPU.
+    skew_threshold = jnp.int32(max(2 * c * ((n // B) + 1) + 2 * c, 64))
+    acc = jax.lax.cond(maxc > skew_threshold, _segmented_scan,
+                       _serial_runs, operand=None)
 
     # summation by parts: suffix sums along the bucket axis, then the
     # per-window total of the suffix series equals sum_b b * S_b.

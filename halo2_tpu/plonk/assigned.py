@@ -14,11 +14,28 @@ from dataclasses import dataclass
 from ..fields.host import FieldSpec
 
 
-@dataclass(frozen=True)
 class Assigned:
-    """numerator / denominator (denominator == None means trivial)."""
-    numerator: int
-    denominator: int | None = None  # None => 1
+    """numerator / denominator (denominator == None means trivial).
+    __slots__ plain class (not a dataclass): one is built per witnessed
+    cell on the synthesis hot path."""
+
+    __slots__ = ("numerator", "denominator")
+
+    def __init__(self, numerator: int, denominator: int | None = None):
+        self.numerator = numerator
+        self.denominator = denominator  # None => 1
+
+    def __eq__(self, other):
+        return (isinstance(other, Assigned)
+                and self.numerator == other.numerator
+                and self.denominator == other.denominator)
+
+    def __hash__(self):
+        return hash((self.numerator, self.denominator))
+
+    def __repr__(self):
+        return (f"Assigned(numerator={self.numerator}, "
+                f"denominator={self.denominator})")
 
     @staticmethod
     def zero() -> "Assigned":

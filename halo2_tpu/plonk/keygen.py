@@ -116,8 +116,7 @@ def _pack_columns(df, fs, columns: list[list[Assigned]]) -> list[jnp.ndarray]:
     out = []
     for col in columns:
         ints = batch_evaluate_assigned(fs, col)
-        out.append(jnp.asarray(
-            np.asarray(df.to_mont_np(ints)).reshape(len(ints), NLIMBS)))
+        out.append(df.upload_values(ints))
     return out
 
 
@@ -139,8 +138,7 @@ def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
     fixed_device = _pack_columns(df, fs, assembly.fixed)
     for poly in selector_polys:
-        fixed_device.append(jnp.asarray(
-            np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
+        fixed_device.append(df.upload_values(poly))
     prof.lap("compress+pack")
 
     permutation_vk = build_vk(params, domain, assembly.permutation)
@@ -176,8 +174,7 @@ def keygen_pk(params: Params, vk: VerifyingKey,
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
     fixed_values = _pack_columns(df, fs, assembly.fixed)
     for poly in selector_polys:
-        fixed_values.append(jnp.asarray(
-            np.asarray(df.to_mont_np(poly)).reshape(len(poly), NLIMBS)))
+        fixed_values.append(df.upload_values(poly))
     prof.lap("compress+pack")
 
     fixed_polys, fixed_cosets = domain.lagrange_to_coeff_extended_many(
@@ -195,7 +192,7 @@ def keygen_pk(params: Params, vk: VerifyingKey,
         vals = [0] * n
         for r in rows:
             vals[r] = 1
-        return jnp.asarray(np.asarray(df.to_mont_np(vals)).reshape(n, NLIMBS))
+        return df.upload_values(vals)
 
     _, (l0, l_blind, l_last) = domain.lagrange_to_coeff_extended_many([
         indicator_lag([0]),

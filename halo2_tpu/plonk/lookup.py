@@ -163,9 +163,8 @@ def permute_expression_pair(cs: ConstraintSystem, params, rng,
     inputs.extend(fs.rand(rng) for _ in range(blinding_factors + 1))
     permuted_table.extend(fs.rand(rng) for _ in range(blinding_factors + 1))
 
-    pi = jnp.asarray(np.asarray(df.to_mont_np(inputs)).reshape(n, NLIMBS))
-    pt = jnp.asarray(np.asarray(df.to_mont_np(permuted_table))
-                     .reshape(n, NLIMBS))
+    pi = df.upload_values(inputs)
+    pt = df.upload_values(permuted_table)
     return pi, pt
 
 

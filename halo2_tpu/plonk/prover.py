@@ -139,8 +139,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             if len(values) > n - (cs.blinding_factors() + 1):
                 raise ValueError("InstanceTooLarge")
             padded = list(values) + [0] * (n - len(values))
-            values_l.append(jnp.asarray(np.asarray(df.to_mont_np(padded))
-                                        .reshape(n, NLIMBS)))
+            values_l.append(df.upload_values(padded))
         commitments = params.commit_many(
             values_l, [DEFAULT_BLIND] * len(values_l), lagrange=True)
         polys_l, cosets_l = domain.lagrange_to_coeff_extended_many(values_l)
@@ -160,7 +159,14 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
         witness = WitnessCollection(witness_cs, fs, n, params.k, inst,
                                     unusable_rows_start)
         from ..circuit import synthesize_circuit
-        synthesize_circuit(witness, circuit, config, witness_cs.constants)
+        # Floor-plan layout is cached on the pk: repeat proofs (and the
+        # 2nd+ circuit instance of this proof) skip the measurement pass.
+        plan_cache = getattr(pk, "_synth_plan", None)
+        if plan_cache is None:
+            plan_cache = pk._synth_plan = {}
+        synthesize_circuit(witness, circuit, config, witness_cs.constants,
+                           plan_cache=plan_cache)
+        prof.lap("advice: synthesis")
 
         advice_cols = []
         for col in witness.advice:
@@ -168,17 +174,18 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             # blinding rows
             for row in range(unusable_rows_start, n):
                 ints[row] = fs.rand(rng)
-            advice_cols.append(jnp.asarray(
-                np.asarray(df.to_mont_np(ints)).reshape(n, NLIMBS)))
+            advice_cols.append(df.upload_values(ints))
         advice_blinds = [fs.rand(rng) for _ in advice_cols]
+        prof.lap("advice: eval+pack")
         for pt in params.commit_many(advice_cols, advice_blinds,
                                      lagrange=True):
             transcript.write_point(pt)
+        prof.lap("advice: commit")
         polys, cosets = domain.lagrange_to_coeff_extended_many(advice_cols)
         advice_singles.append({"values": advice_cols, "polys": polys,
                                "cosets": cosets, "blinds": advice_blinds})
 
-    prof.lap("advice synth+commit+ntt")
+    prof.lap("advice: ntt+extend")
     theta = transcript.squeeze_challenge()
 
     # ---- lookups: commit permuted ----

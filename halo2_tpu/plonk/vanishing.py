@@ -35,8 +35,7 @@ def vanishing_commit(params, domain, rng, transcript) -> VanishingCommitted:
     df = params.scalar_df
     fs = params.curve.scalar
     vals = [fs.rand(rng) for _ in range(params.n)]
-    random_poly = jnp.asarray(np.asarray(df.to_mont_np(vals))
-                              .reshape(params.n, NLIMBS))
+    random_poly = df.upload_values(vals)
     random_blind = fs.rand(rng)
     transcript.write_point(params.commit(random_poly, random_blind))
     return VanishingCommitted(random_poly=random_poly,

@@ -51,8 +51,7 @@ def verify_proof(params: Params, vk: VerifyingKey, strategy,
             if len(values) > n - (cs.blinding_factors() + 1):
                 raise VerificationError("InstanceTooLarge")
             padded = list(values) + [0] * (n - len(values))
-            lags.append(jnp.asarray(np.asarray(df.to_mont_np(padded))
-                                    .reshape(n, NLIMBS)))
+            lags.append(df.upload_values(padded))
         instance_commitments.append(params.commit_many(
             lags, [DEFAULT_BLIND] * len(lags), lagrange=True))
     num_proofs = len(instances)

@@ -308,18 +308,23 @@ class Params:
                 return w
             fn = jax.jit(impl)
             Params._COMMIT_JIT[key] = fn
+        from ..plonk.prover import _PhaseTimer
+        prof = _PhaseTimer("commit_many")
         bdig = jnp.asarray(np.stack(
             [_digits16_np(b % fs.modulus) for b in blinds]))[:, None, :]
         vals = jnp.stack(polys_mont, axis=0)
         bases = self.g_lagrange_dev if lagrange else self.g_dev
         wsums = fn(vals, bdig, bases.x, bases.y, bases.z,
                    self._w_dev.x, self._w_dev.y, self._w_dev.z)
+        prof.lap(f"dispatch m={m}")
         wsums_np = np.asarray(wsums)
+        prof.lap("readback")
         out = []
         for j in range(m):
             window_pts = mp.points_from_proj(self.curve, dev.base,
                                              wsums_np[j])
             out.append(mp.host_horner_combine(self.curve, window_pts, c))
+        prof.lap("host combine")
         return out
 
     def empty_msm(self) -> "MSMAccumulator":
@@ -463,13 +468,15 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     from ..plonk.prover import _PhaseTimer
     prof = _PhaseTimer()
 
-    # random poly S with a root at x3 (prover.rs:45-58)
+    # random poly S with a root at x3 (prover.rs:45-58). Horner on host:
+    # one pass of int ops beats two device uploads + an eval dispatch.
     s_vals = [fs.rand(rng) for _ in range(n)]
-    s_poly = jnp.asarray(df.to_mont_np(s_vals))
-    s_at_x3 = int(df.from_mont_np(
-        np.asarray(eval_poly(df, s_poly, df.scalar(x3)))))
-    s_vals[0] = (s_vals[0] - s_at_x3) % fs.modulus
-    s_poly = jnp.asarray(df.to_mont_np(s_vals))
+    p_mod = fs.modulus
+    s_at_x3 = 0
+    for v in reversed(s_vals):
+        s_at_x3 = (s_at_x3 * x3 + v) % p_mod
+    s_vals[0] = (s_vals[0] - s_at_x3) % p_mod
+    s_poly = df.upload_values(s_vals)
     s_blind = fs.rand(rng)
     transcript.write_point(params.commit(s_poly, s_blind))
 

@@ -138,3 +138,26 @@ def test_msm_dispatch_uses_pallas_path(monkeypatch):
     got = cv.points_from_device(
         JPoint(out.x[None], out.y[None], out.z[None]))[0]
     assert got == spec.msm(scalars, pts)
+
+
+def test_msm_pallas_skewed_scalars_scan_branch():
+    """Degenerate digit distributions (all-equal scalars, 0/1 selector
+    columns) must take the segmented-scan branch and still match the
+    host oracle (the serial-run branch would need up to n rounds)."""
+    spec = PALLAS
+    df = FP_DEV
+    n = 256
+    rng = random.Random(11)
+    pts = [spec.mul(spec.generator, rng.randrange(1, 1 << 62))
+           for i in range(n)]
+    a = rng.randrange(spec.scalar.modulus)
+    cases = {
+        "all-equal": [a] * n,
+        "selector": [rng.randrange(2) for _ in range(n)],
+        "two-values": [a if i % 2 else (a * 2) % spec.scalar.modulus
+                       for i in range(n)],
+    }
+    proj = points_to_proj(spec, df, pts)
+    for name, scalars in cases.items():
+        got = msm_pallas(spec, df, _digits16(scalars), proj)
+        assert got == spec.msm(scalars, pts), name
