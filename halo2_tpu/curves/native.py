@@ -71,6 +71,9 @@ def _load():
                                 ctypes.c_size_t, u64p, u64p, u8p]
     lib.pasta_group_ntt.argtypes = [ctypes.c_int, ctypes.c_int, u64p, u64p,
                                     u8p, ctypes.c_size_t, u64p, u64p]
+    lib.pasta_set_endo.argtypes = [ctypes.c_int, u64p]
+    lib.pasta_ipa_fold_glv.argtypes = [u64p, u64p, u64p, ctypes.c_int,
+                                       u64p, ctypes.c_int]
     _lib = lib
     HAS_NATIVE = True
     return lib
@@ -250,10 +253,23 @@ class NativeIpaSession:
 
     def fold(self, u: int, u_inv: int) -> None:
         u64p = ctypes.POINTER(ctypes.c_uint64)
-        ua = _limbs(u % self.spec.scalar.modulus)
-        uia = _limbs(u_inv % self.spec.scalar.modulus)
-        _lib.pasta_ipa_fold(ua.ctypes.data_as(u64p),
-                            uia.ctypes.data_as(u64p))
+        q = self.spec.scalar.modulus
+        ua = _limbs(u % q)
+        uia = _limbs(u_inv % q)
+        glv = _glv_ctx(self.spec)
+        if glv is not None:
+            k1, k2 = glv.decompose(u % q)
+            k1a = _limbs(abs(k1))
+            k2a = _limbs(abs(k2))
+            _lib.pasta_ipa_fold_glv(ua.ctypes.data_as(u64p),
+                                    uia.ctypes.data_as(u64p),
+                                    k1a.ctypes.data_as(u64p),
+                                    1 if k1 < 0 else 0,
+                                    k2a.ctypes.data_as(u64p),
+                                    1 if k2 < 0 else 0)
+        else:
+            _lib.pasta_ipa_fold(ua.ctypes.data_as(u64p),
+                                uia.ctypes.data_as(u64p))
 
     def final_c(self) -> int:
         u64p = ctypes.POINTER(ctypes.c_uint64)
@@ -394,3 +410,63 @@ def native_group_ntt(curve_spec, points, omega: int, scale: int = 1):
                          _limbs(scale % q).ctypes.data_as(u64p))
     return [None if infs[i] else (_unlimbs(xs[i]), _unlimbs(ys[i]))
             for i in range(len(points))]
+
+
+# ---------------------------------------------------------------------------
+# GLV decomposition (cube-root endomorphism phi(x, y) = (zeta_base*x, y),
+# which acts as scalar multiplication by lambda = zeta_scalar — orientation
+# pinned by fields/host.py's zeta notes and verified at context build).
+# ---------------------------------------------------------------------------
+
+class _GlvCtx:
+    __slots__ = ("q", "lam", "a1", "b1", "a2", "b2")
+
+    def __init__(self, q: int, lam: int):
+        self.q = q
+        self.lam = lam
+        # half-size lattice basis for (q, lam) via extended Euclid
+        rs = [q, lam]
+        ts = [0, 1]
+        while rs[-1] ** 2 >= q:
+            qt = rs[-2] // rs[-1]
+            rs.append(rs[-2] - qt * rs[-1])
+            ts.append(ts[-2] - qt * ts[-1])
+        self.a1, self.b1 = rs[-1], -ts[-1]
+        self.a2, self.b2 = rs[-2], -ts[-2]
+
+    def decompose(self, k: int) -> tuple[int, int]:
+        """k = k1 + k2*lambda (mod q) with |k1|, |k2| < 2^129."""
+        q = self.q
+        c1 = (self.b2 * k + q // 2) // q
+        c2 = (-self.b1 * k + q // 2) // q
+        k1 = k - c1 * self.a1 - c2 * self.a2
+        k2 = -c1 * self.b1 - c2 * self.b2
+        return k1, k2
+
+
+_glv_cache: dict = {}
+
+
+def _glv_ctx(curve_spec):
+    """GLV context for the curve, registering the endo zeta with the
+    native library; None if the native library is unavailable."""
+    got = _glv_cache.get(curve_spec.name)
+    if got is not None:
+        return got
+    idx = _ensure_field(curve_spec)
+    if idx is None:
+        return None
+    bf = curve_spec.base
+    sf = curve_spec.scalar
+    lam = sf.zeta
+    # verify endo orientation on a sample point; fall back to zeta^2
+    P = curve_spec.mul(curve_spec.generator, 12345)
+    endo = (bf.zeta * P[0] % bf.modulus, P[1])
+    if curve_spec.mul(P, lam) != endo:
+        lam = lam * lam % sf.modulus
+        assert curve_spec.mul(P, lam) == endo
+    ctx = _GlvCtx(sf.modulus, lam)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    _lib.pasta_set_endo(idx, _limbs(bf.zeta).ctypes.data_as(u64p))
+    _glv_cache[curve_spec.name] = ctx
+    return ctx
