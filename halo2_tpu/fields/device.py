@@ -122,6 +122,21 @@ class DeviceField:
             _UPLOAD_JIT[id(self)] = fn
         return fn(jnp.asarray(a16))
 
+    def upload_mont(self, mont_u64: np.ndarray) -> jnp.ndarray:
+        """(n, 4) uint64 LE Montgomery limbs (native-library layout) ->
+        [n, 16] Montgomery device array. Same 16-bit wire format as
+        upload_values but without the R^2 multiply (data is already in
+        Montgomery form)."""
+        a16 = (np.ascontiguousarray(mont_u64, dtype=np.uint64)
+               .view(np.uint16).reshape(-1, NLIMBS))
+        import jax
+        key = ("mont", id(self))
+        fn = _UPLOAD_JIT.get(key)
+        if fn is None:
+            fn = jax.jit(lambda x16: x16.astype(U32))
+            _UPLOAD_JIT[key] = fn
+        return fn(jnp.asarray(a16))
+
     def zeros(self, shape=()) -> jnp.ndarray:
         return jnp.zeros(tuple(shape) + (NLIMBS,), dtype=U32)
 

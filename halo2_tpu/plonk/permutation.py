@@ -88,7 +88,33 @@ class PermutationAssembly:
 
     def sigma_lagrange(self, df: DeviceField, domain: EvaluationDomain
                        ) -> list[jnp.ndarray]:
-        """One [n,16] σ array per permutation column."""
+        """One [n,16] σ array per permutation column.
+
+        Native host path when available: the δ^i·ω^j table is n·m field
+        multiplies (pasta_powmul) and the cycle-mapping gather is a
+        numpy index — building this on device cost minutes of XLA
+        compile at k=16 for what is microseconds of arithmetic."""
+        import os
+        from ..curves import native
+        m, n = len(self.columns), self.n
+        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
+               else native.field_idx(df.spec))
+        if idx is not None:
+            p = df.spec.modulus
+            R = 1 << 256
+            one_m = np.frombuffer(int(R % p).to_bytes(32, "little"),
+                                  np.uint64)
+            omega_mont = domain.omega * R % p
+            dw = np.empty((m, n, 4), np.uint64)
+            for i in range(m):
+                row = np.tile(one_m, (n, 1))
+                scale_mont = pow(df.spec.delta, i, p) * R % p
+                native.powmul_inplace(idx, row, omega_mont, scale_mont, 0)
+                dw[i] = row
+            flat = dw.reshape(-1, 4)
+            return [df.upload_mont(
+                flat[(self.map_col[i] * n + self.map_row[i]).reshape(-1)])
+                for i in range(m)]
         dw = self._deltaomega(df, domain)          # [m, n, 16]
         flat = dw.reshape(-1, NLIMBS)
         out = []
