@@ -502,12 +502,15 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     g_prime = JPoint(params.g_dev.x, params.g_dev.y, params.g_dev.z)
 
     prof.lap("ipa P' setup")
-    # Below this size the remaining rounds run entirely in the native
-    # host library — one device→host state handoff, then only
-    # transcript scalars cross the boundary per round. The device path
-    # above it keeps the large L/R MSMs on the accelerator.
+    # At or below this size the remaining rounds run entirely in the
+    # native host library — one device→host state handoff, then only
+    # transcript scalars cross the boundary per round. The GLV-folded
+    # native tail beats the device path at every bench size (the
+    # device G' collapse at k=16 cost 40 s/round vs ~0.8 s native), so
+    # the default keeps the whole tail native; lower it to push the
+    # big L/R MSM rounds onto the accelerator.
     native_threshold = int(os.environ.get(
-        "HALO2_TPU_NATIVE_IPA_THRESHOLD", "8192"))
+        "HALO2_TPU_NATIVE_IPA_THRESHOLD", str(1 << 18)))
     sess = None
     cur = params.curve
     for j in range(k):
