@@ -71,6 +71,12 @@ def _load():
                                 ctypes.c_size_t, u64p, u64p, u8p]
     lib.pasta_group_ntt.argtypes = [ctypes.c_int, ctypes.c_int, u64p, u64p,
                                     u8p, ctypes.c_size_t, u64p, u64p]
+    lib.pasta_points_to_mont.argtypes = [ctypes.c_int, u64p, u64p,
+                                         ctypes.c_size_t, u64p, u64p]
+    lib.pasta_msm_many.argtypes = [ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_size_t, u64p, ctypes.c_int,
+                                   u64p, u64p, u8p, ctypes.c_size_t,
+                                   u64p, u64p, u8p]
     lib.pasta_set_endo.argtypes = [ctypes.c_int, u64p]
     lib.pasta_ipa_fold_glv.argtypes = [u64p, u64p, u64p, ctypes.c_int,
                                        u64p, ctypes.c_int]
@@ -149,6 +155,70 @@ def native_msm(spec, scalars, points):
     if out_inf[0]:
         return None
     return (_unlimbs(out_x), _unlimbs(out_y))
+
+
+class PackedPoints:
+    """A fixed point set pre-converted to Montgomery coordinates once
+    (SRS g / g_lagrange vectors), reusable across native_msm_many calls."""
+
+    __slots__ = ("idx", "n", "mx", "my", "infs")
+
+    def __init__(self, spec, points):
+        idx = _ensure_field(spec)
+        assert idx is not None
+        self.idx = idx
+        self.n = len(points)
+        xs, ys, self.infs = _pack_points(points)
+        self.mx = np.zeros_like(xs)
+        self.my = np.zeros_like(ys)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        _lib.pasta_points_to_mont(idx, xs.ctypes.data_as(u64p),
+                                  ys.ctypes.data_as(u64p), self.n,
+                                  self.mx.ctypes.data_as(u64p),
+                                  self.my.ctypes.data_as(u64p))
+
+
+def native_msm_many(spec, scalars_u64: np.ndarray, packed: PackedPoints,
+                    scalars_mont: bool) -> list:
+    """m MSMs over one packed point set. scalars_u64: (m, n, 4) u64 LE,
+    raw or (scalars_mont=True) Montgomery scalar-field values. Returns a
+    list of m affine points (None = identity)."""
+    m, n = scalars_u64.shape[0], scalars_u64.shape[1]
+    assert n == packed.n and scalars_u64.shape[2] == 4
+    sidx = 1 - packed.idx  # scalar field of a pasta curve = other base
+    from .host import PALLAS, VESTA
+    _ensure_field(VESTA if packed.idx == 0 else PALLAS)
+    sc = np.ascontiguousarray(scalars_u64, dtype=np.uint64)
+    out_x = np.zeros((m, 4), np.uint64)
+    out_y = np.zeros((m, 4), np.uint64)
+    out_inf = np.zeros(m, np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    _lib.pasta_msm_many(packed.idx, sidx, m, sc.ctypes.data_as(u64p),
+                        1 if scalars_mont else 0,
+                        packed.mx.ctypes.data_as(u64p),
+                        packed.my.ctypes.data_as(u64p),
+                        packed.infs.ctypes.data_as(u8p), n,
+                        out_x.ctypes.data_as(u64p),
+                        out_y.ctypes.data_as(u64p),
+                        out_inf.ctypes.data_as(u8p))
+    return [None if out_inf[j] else (_unlimbs(out_x[j]), _unlimbs(out_y[j]))
+            for j in range(m)]
+
+
+def ints_to_limbs(vals: list[int]) -> np.ndarray:
+    """(n, 4) u64 LE limb array from a list of reduced python ints."""
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, np.uint64).reshape(len(vals), 4)
+
+
+def raw_to_mont_inplace(idx: int, data_u64: np.ndarray, modulus: int
+                        ) -> None:
+    """Convert raw (n, 4) u64 values to Montgomery form in place:
+    data[i] = fmul(data[i], R^2) = data[i] * R."""
+    r2 = pow(2, 512, modulus)
+    one = pow(2, 256, modulus)
+    powmul_inplace(idx, data_u64, one, r2, 1)
 
 
 def field_idx(fs) -> int | None:

@@ -458,6 +458,85 @@ void pasta_msm(int fidx, const u64* scalars, const u64* xs, const u64* ys,
   from_mont(f, t, out_y);
 }
 
+// Convert raw affine coordinates to Montgomery once, so repeated MSMs
+// over a fixed base set (the SRS g / g_lagrange vectors) skip the
+// per-call conversion pass in pasta_msm.
+void pasta_points_to_mont(int fidx, const u64* xs, const u64* ys, size_t n,
+                          u64* mx, u64* my) {
+  const Field& f = FIELDS[fidx];
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; ++i) {
+    to_mont(f, xs + 4 * i, &mx[4 * i]);
+    to_mont(f, ys + 4 * i, &my[4 * i]);
+  }
+}
+
+// m MSMs sharing one pre-Montgomery-packed point set (the commit_many
+// pattern: a whole keygen/prover phase's commitments over the same SRS).
+// scalars: m x n x 4 raw LE limbs, or Montgomery form of the scalar
+// field `sfidx` when scalars_mont != 0 (converted out once here).
+// Parallelism is over the flattened (msm, window) grid.
+void pasta_msm_many(int fidx, int sfidx, size_t m, const u64* scalars,
+                    int scalars_mont, const u64* mx, const u64* my,
+                    const uint8_t* infs, size_t n, u64* out_x, u64* out_y,
+                    uint8_t* out_inf) {
+  const Field& f = FIELDS[fidx];
+  std::vector<u64> raw;
+  if (scalars_mont) {
+    const Field& sf = FIELDS[sfidx];
+    raw.resize(4 * m * n);
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < m * n; ++i)
+      from_mont(sf, scalars + 4 * i, &raw[4 * i]);
+    scalars = raw.data();
+  }
+  size_t c = msm_window(n);
+  size_t windows = 256 / c + 1;
+  std::vector<Jac> winsums(m * windows);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (size_t jw = 0; jw < m * windows; ++jw) {
+    size_t j = jw / windows, w = jw % windows;
+    const u64* sc = scalars + 4 * n * j;
+    std::vector<Jac> buckets((size_t(1) << c) - 1);
+    for (auto& b : buckets) memset(&b, 0, sizeof(b));
+    size_t shift = c * w;
+    size_t limb = shift / 64, off = shift % 64;
+    if (limb >= 4) {
+      memset(&winsums[jw], 0, sizeof(Jac));
+      continue;
+    }
+    for (size_t i = 0; i < n; ++i) {
+      if (infs[i]) continue;
+      u64 digit = sc[4 * i + limb] >> off;
+      if (off + c > 64 && limb + 1 < 4)
+        digit |= sc[4 * i + limb + 1] << (64 - off);
+      digit &= (u64(1) << c) - 1;
+      if (digit)
+        jmixed(f, buckets[digit - 1], &mx[4 * i], &my[4 * i], false,
+               buckets[digit - 1]);
+    }
+    Jac running, winsum;
+    memset(&running, 0, sizeof(running));
+    memset(&winsum, 0, sizeof(winsum));
+    for (size_t b = buckets.size(); b-- > 0;) {
+      jadd(f, running, buckets[b], running);
+      jadd(f, winsum, running, winsum);
+    }
+    winsums[jw] = winsum;
+  }
+#pragma omp parallel for schedule(static)
+  for (size_t j = 0; j < m; ++j) {
+    Jac acc;
+    memset(&acc, 0, sizeof(acc));
+    for (size_t w = windows; w-- > 0;) {
+      if (w != windows - 1)
+        for (size_t d = 0; d < c; ++d) jdouble(f, acc, acc);
+      jadd(f, acc, winsums[j * windows + w], acc);
+    }
+    jac_to_raw_affine(f, acc, out_x + 4 * j, out_y + 4 * j, out_inf + j);
+  }
+}
+
 // Batch scalar-mul-and-add: out[i] = lo[i] + [k] hi[i], all affine raw;
 // the IPA G' collapse (poly/commitment.rs::parallel_generator_collapse
 // analogue). One shared batch inversion at the end.

@@ -111,14 +111,6 @@ def _synthesize(circuit: Circuit, config, assembly, constants):
     synthesize_circuit(assembly, circuit, config, constants)
 
 
-def _pack_columns(df, fs, columns: list[list[Assigned]]) -> list[jnp.ndarray]:
-    """Batch-evaluate Assigned columns and pack to device arrays."""
-    out = []
-    for col in columns:
-        ints = batch_evaluate_assigned(fs, col)
-        out.append(df.upload_values(ints))
-    return out
-
 
 def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
     """keygen.rs:189-244."""
@@ -136,15 +128,32 @@ def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
     prof.lap("synthesize")
 
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
-    fixed_device = _pack_columns(df, fs, assembly.fixed)
-    for poly in selector_polys:
-        fixed_device.append(df.upload_values(poly))
-    prof.lap("compress+pack")
+    fixed_ints = [batch_evaluate_assigned(fs, col) for col in assembly.fixed]
+    fixed_ints.extend([v % fs.modulus for v in poly]
+                      for poly in selector_polys)
+    prof.lap("compress+evaluate")
 
     permutation_vk = build_vk(params, domain, assembly.permutation)
     prof.lap("permutation build_vk")
-    fixed_commitments = params.commit_many(
-        fixed_device, [DEFAULT_BLIND] * len(fixed_device), lagrange=True)
+
+    # Fixed columns originate on the host, so commit straight from host
+    # ints via the native multi-MSM (no upload, no device executable
+    # load); device commit_many is the fallback.
+    fixed_commitments = []
+    if fixed_ints:
+        import os as _os
+        from ..curves import native
+        if (not _os.environ.get("HALO2_TPU_NO_NATIVE")
+                and native._load() is not None):
+            fixed_commitments = params.commit_native_many(
+                np.stack([native.ints_to_limbs(col) for col in fixed_ints]),
+                [DEFAULT_BLIND] * len(fixed_ints), lagrange=True,
+                mont=False)
+        if not fixed_commitments:
+            fixed_device = [df.upload_values(col) for col in fixed_ints]
+            fixed_commitments = params.commit_many(
+                fixed_device, [DEFAULT_BLIND] * len(fixed_device),
+                lagrange=True)
     prof.lap("fixed commits")
     return VerifyingKey(
         curve=params.curve, domain=domain,
@@ -172,32 +181,70 @@ def keygen_pk(params: Params, vk: VerifyingKey,
     prof.lap("synthesize")
 
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
-    fixed_values = _pack_columns(df, fs, assembly.fixed)
-    for poly in selector_polys:
-        fixed_values.append(df.upload_values(poly))
-    prof.lap("compress+pack")
+    fixed_ints = [batch_evaluate_assigned(fs, col) for col in assembly.fixed]
+    fixed_ints.extend([v % fs.modulus for v in poly]
+                      for poly in selector_polys)
+    prof.lap("compress+evaluate")
 
-    fixed_polys, fixed_cosets = domain.lagrange_to_coeff_extended_many(
-        fixed_values)
-    prof.lap("fixed ntt")
-
-    permutation_pk = build_pk(params, domain, assembly.permutation)
-    prof.lap("permutation build_pk")
-
-    # indicator polynomials (keygen.rs:304-325), batched in one dispatch
     n = params.n
     blinding_factors = cs.blinding_factors()
 
-    def indicator_lag(rows: list[int]) -> jnp.ndarray:
-        vals = [0] * n
-        for r in rows:
-            vals[r] = 1
-        return df.upload_values(vals)
+    # Host-origin pipeline when the native library is available: build
+    # Montgomery limb arrays on the host, run the native NTTs, and
+    # upload only the results — zero device readbacks (a fresh-process
+    # readback can stall minutes on the tunneled backend).
+    import os as _os
+    from ..curves import native
+    host_cols = None
+    if (not _os.environ.get("HALO2_TPU_NO_NATIVE")
+            and native._load() is not None):
+        idx = native.field_idx(fs)
+        if idx is not None:
+            host_cols = []
+            for col in fixed_ints:
+                arr = native.ints_to_limbs(col).copy()
+                native.raw_to_mont_inplace(idx, arr, fs.modulus)
+                host_cols.append(arr)
 
-    _, (l0, l_blind, l_last) = domain.lagrange_to_coeff_extended_many([
-        indicator_lag([0]),
-        indicator_lag(list(range(n - blinding_factors, n))),
-        indicator_lag([n - blinding_factors - 1])])
+    def indicator_host(rows: list[int]) -> np.ndarray:
+        arr = np.zeros((n, 4), np.uint64)
+        one_m = np.frombuffer(
+            int(pow(2, 256, fs.modulus)).to_bytes(32, "little"), np.uint64)
+        arr[rows] = one_m
+        return arr
+
+    if host_cols is not None:
+        fixed_values = [df.upload_mont(c) for c in host_cols]
+        fixed_polys, fixed_cosets = (
+            domain.lagrange_to_coeff_extended_many_host(host_cols)
+            if host_cols else ([], []))
+        prof.lap("fixed ntt (host)")
+        permutation_pk = build_pk(params, domain, assembly.permutation)
+        prof.lap("permutation build_pk")
+        _, (l0, l_blind, l_last) = (
+            domain.lagrange_to_coeff_extended_many_host([
+                indicator_host([0]),
+                indicator_host(list(range(n - blinding_factors, n))),
+                indicator_host([n - blinding_factors - 1])]))
+    else:
+        fixed_values = [df.upload_values(col) for col in fixed_ints]
+        prof.lap("pack")
+        fixed_polys, fixed_cosets = domain.lagrange_to_coeff_extended_many(
+            fixed_values)
+        prof.lap("fixed ntt")
+        permutation_pk = build_pk(params, domain, assembly.permutation)
+        prof.lap("permutation build_pk")
+
+        def indicator_lag(rows: list[int]) -> jnp.ndarray:
+            vals = [0] * n
+            for r in rows:
+                vals[r] = 1
+            return df.upload_values(vals)
+
+        _, (l0, l_blind, l_last) = domain.lagrange_to_coeff_extended_many([
+            indicator_lag([0]),
+            indicator_lag(list(range(n - blinding_factors, n))),
+            indicator_lag([n - blinding_factors - 1])])
 
     return ProvingKey(
         vk=vk, l0=l0, l_blind=l_blind, l_last=l_last,

@@ -86,6 +86,33 @@ class PermutationAssembly:
         delta_pow = powers(df, df.scalar(df.spec.delta), m)          # [m,16]
         return fmul(df, delta_pow[:, None, :], omega_pow[None, :, :])
 
+    def sigma_lagrange_host(self, df: DeviceField, domain: EvaluationDomain):
+        """Native host σ columns as Montgomery (n, 4) u64 numpy arrays
+        (None when the native library is unavailable): the δ^i·ω^j table
+        is n·m field multiplies (pasta_powmul) and the cycle mapping is
+        a numpy gather."""
+        import os
+        from ..curves import native
+        m, n = len(self.columns), self.n
+        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
+               else native.field_idx(df.spec))
+        if idx is None:
+            return None
+        p = df.spec.modulus
+        R = 1 << 256
+        one_m = np.frombuffer(int(R % p).to_bytes(32, "little"), np.uint64)
+        omega_mont = domain.omega * R % p
+        dw = np.empty((m, n, 4), np.uint64)
+        for i in range(m):
+            row = np.tile(one_m, (n, 1))
+            scale_mont = pow(df.spec.delta, i, p) * R % p
+            native.powmul_inplace(idx, row, omega_mont, scale_mont, 0)
+            dw[i] = row
+        flat = dw.reshape(-1, 4)
+        return [np.ascontiguousarray(
+            flat[(self.map_col[i] * n + self.map_row[i]).reshape(-1)])
+            for i in range(m)]
+
     def sigma_lagrange(self, df: DeviceField, domain: EvaluationDomain
                        ) -> list[jnp.ndarray]:
         """One [n,16] σ array per permutation column.
@@ -94,27 +121,9 @@ class PermutationAssembly:
         multiplies (pasta_powmul) and the cycle-mapping gather is a
         numpy index — building this on device cost minutes of XLA
         compile at k=16 for what is microseconds of arithmetic."""
-        import os
-        from ..curves import native
-        m, n = len(self.columns), self.n
-        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
-               else native.field_idx(df.spec))
-        if idx is not None:
-            p = df.spec.modulus
-            R = 1 << 256
-            one_m = np.frombuffer(int(R % p).to_bytes(32, "little"),
-                                  np.uint64)
-            omega_mont = domain.omega * R % p
-            dw = np.empty((m, n, 4), np.uint64)
-            for i in range(m):
-                row = np.tile(one_m, (n, 1))
-                scale_mont = pow(df.spec.delta, i, p) * R % p
-                native.powmul_inplace(idx, row, omega_mont, scale_mont, 0)
-                dw[i] = row
-            flat = dw.reshape(-1, 4)
-            return [df.upload_mont(
-                flat[(self.map_col[i] * n + self.map_row[i]).reshape(-1)])
-                for i in range(m)]
+        host = self.sigma_lagrange_host(df, domain)
+        if host is not None:
+            return [df.upload_mont(h) for h in host]
         dw = self._deltaomega(df, domain)          # [m, n, 16]
         flat = dw.reshape(-1, NLIMBS)
         out = []
@@ -130,7 +139,20 @@ def build_vk(params, domain: EvaluationDomain, assembly: PermutationAssembly):
     from ..poly.commitment import DEFAULT_BLIND
     from .prover import _PhaseTimer
     prof = _PhaseTimer(tag="perm_vk")
-    sigmas = assembly.sigma_lagrange(params.scalar_df, domain)
+    if not assembly.columns:
+        return []
+    host = assembly.sigma_lagrange_host(params.scalar_df, domain)
+    if host is not None:
+        prof.lap("sigma_lagrange host")
+        out = params.commit_native_many(
+            np.stack(host), [DEFAULT_BLIND] * len(host), lagrange=True,
+            mont=True)
+        if out is not None:
+            prof.lap(f"native commit m={len(host)}")
+            return out
+        sigmas = [params.scalar_df.upload_mont(h) for h in host]
+    else:
+        sigmas = assembly.sigma_lagrange(params.scalar_df, domain)
     prof.lap("sigma_lagrange")
     out = params.commit_many(sigmas, [DEFAULT_BLIND] * len(sigmas),
                              lagrange=True)
@@ -148,7 +170,16 @@ class PermutationProvingKey:
 def build_pk(params, domain: EvaluationDomain,
              assembly: PermutationAssembly) -> PermutationProvingKey:
     df = params.scalar_df
-    sigmas = assembly.sigma_lagrange(df, domain)
+    host = assembly.sigma_lagrange_host(df, domain)
+    if host is not None:
+        res = domain.lagrange_to_coeff_extended_many_host(host)
+        if res is not None:
+            sigmas = [df.upload_mont(h) for h in host]
+            return PermutationProvingKey(permutations=sigmas,
+                                         polys=res[0], cosets=res[1])
+        sigmas = [df.upload_mont(h) for h in host]
+    else:
+        sigmas = assembly.sigma_lagrange(df, domain)
     polys, cosets = domain.lagrange_to_coeff_extended_many(sigmas)
     return PermutationProvingKey(permutations=sigmas, polys=polys,
                                  cosets=cosets)

@@ -203,6 +203,40 @@ class Params:
         return self.dev.points_from_device(
             normalize(self.dev, res))[0]
 
+    def _packed_bases(self, lagrange: bool):
+        """Native-library Montgomery pack of (g or g_lagrange) ‖ w,
+        converted once and cached (the SRS is fixed for the Params
+        lifetime)."""
+        from ..curves import native
+        attr = "_packed_gl" if lagrange else "_packed_g"
+        packed = getattr(self, attr, None)
+        if packed is None:
+            base = self.g_lagrange if lagrange else self.g
+            packed = native.PackedPoints(self.curve, list(base) + [self.w])
+            setattr(self, attr, packed)
+        return packed
+
+    def commit_native_many(self, scalars_u64: np.ndarray, blinds: list[int],
+                           lagrange: bool, mont: bool):
+        """m commitments from HOST data via the native C++ multi-MSM —
+        no device round-trip, no executable-load latency (the keygen
+        path: fixed columns and σ polys originate on the host anyway).
+        scalars_u64: (m, n, 4) LE u64, raw or (mont=True) Montgomery.
+        Returns None when the native library is unavailable."""
+        from ..curves import native
+        if os.environ.get("HALO2_TPU_NO_NATIVE") or native._load() is None:
+            return None
+        fs = self.curve.scalar
+        m = scalars_u64.shape[0]
+        assert scalars_u64.shape[1] == self.n
+        r = (1 << 256) % fs.modulus if mont else 1
+        bl = native.ints_to_limbs(
+            [b % fs.modulus * r % fs.modulus for b in blinds]
+        ).reshape(m, 1, 4)
+        sc = np.concatenate([np.asarray(scalars_u64, np.uint64), bl], axis=1)
+        return native.native_msm_many(self.curve, sc,
+                                      self._packed_bases(lagrange), mont)
+
     _COMMIT_JIT: dict = {}
 
     def _commit_eager(self, values_mont: jnp.ndarray, blind: int,
@@ -283,7 +317,18 @@ class Params:
         padded_n = max(8, 1 << n.bit_length())
         c = mp.pick_c(padded_n)
         interpret = _interpret_default()
-        key = (id(self), m, n, lagrange, c, interpret)
+        # Lane count padded to a power of two and keyed WITHOUT the basis
+        # flag (bases are runtime arguments): on the tunneled backend the
+        # dominant per-executable cost is the first-call load, so phases
+        # with m=3 and m=4 (and lagrange/coeff bases) all share one
+        # compiled program.
+        m_pad = 1 << max(1, (m - 1).bit_length())
+        if m < m_pad:
+            polys_mont = list(polys_mont) + [
+                jnp.zeros_like(polys_mont[0])] * (m_pad - m)
+            blinds = list(blinds) + [0] * (m_pad - m)
+        m_req, m = m, m_pad
+        key = (self.curve.name, self.k, m, c, interpret)
         fn = Params._COMMIT_JIT.get(key)
         if fn is None:
             from ..ops.msm import _jpoint_to_proj
@@ -320,7 +365,7 @@ class Params:
         wsums_np = np.asarray(wsums)
         prof.lap("readback")
         out = []
-        for j in range(m):
+        for j in range(m_req):
             window_pts = mp.points_from_proj(self.curve, dev.base,
                                              wsums_np[j])
             out.append(mp.host_horner_combine(self.curve, window_pts, c))

@@ -178,6 +178,27 @@ class EvaluationDomain:
         native.ntt_inplace(idx, ext, self._m["ext_omega"])
         return ext
 
+    def lagrange_to_coeff_extended_many_host(self, cols_u64: list):
+        """Host-origin variant of lagrange_to_coeff_extended_many for the
+        keygen path: takes native-layout Montgomery (n, 4) u64 arrays
+        (never resident on device), runs the native NTT pipeline, and
+        uploads ONLY the results — no device readback, which on the
+        tunneled backend can stall minutes on a fresh process. Returns
+        None when the native library is unavailable (callers fall back
+        to the device transform)."""
+        import os as _os2
+        if (_os2.environ.get("HALO2_TPU_NO_NATIVE")
+                or self._native_idx() is None):
+            return None
+        polys, cosets = [], []
+        for col in cols_u64:
+            col = np.ascontiguousarray(col, dtype=np.uint64).copy()
+            self._native_l2c(col)
+            ext = self._native_c2e(col)
+            polys.append(self.df.upload_mont(col))
+            cosets.append(self.df.upload_mont(ext))
+        return polys, cosets
+
     # ---------------- transforms (device) ----------------
     _BATCH_XFORM_JIT: dict = {}
 

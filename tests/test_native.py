@@ -158,3 +158,31 @@ def test_native_group_ntt_matches_host_intt():
     want = Params._host_group_intt(PALLAS, g, omega_inv, minv)
     got = native.native_group_ntt(PALLAS, g, omega_inv, minv)
     assert got == want
+
+
+@pytest.mark.parametrize("spec", [PALLAS, VESTA], ids=["pallas", "vesta"])
+def test_native_msm_many_matches_python(spec):
+    """pasta_msm_many (the commit_many host path: m MSMs over one
+    pre-packed point set, raw or Montgomery scalars) vs the pure-Python
+    oracle."""
+    if native._load() is None:
+        pytest.skip("no native toolchain")
+    import numpy as np
+    rng = random.Random(11)
+    q = spec.scalar.modulus
+    n, m = 65, 3
+    pts = _points(spec, n, rng)
+    packed = native.PackedPoints(spec, pts)
+    rows = [[rng.randrange(q) for _ in range(n)] for _ in range(m)]
+    rows[1][4] = 0
+    os.environ["HALO2_TPU_NO_NATIVE"] = "1"
+    try:
+        want = [spec.msm(r, pts) for r in rows]
+    finally:
+        del os.environ["HALO2_TPU_NO_NATIVE"]
+    raw = np.stack([native.ints_to_limbs(r) for r in rows])
+    assert native.native_msm_many(spec, raw, packed, False) == want
+    R = 1 << 256
+    mont = np.stack([native.ints_to_limbs([v * R % q for v in r])
+                     for r in rows])
+    assert native.native_msm_many(spec, mont, packed, True) == want
