@@ -77,6 +77,8 @@ def _load():
                                    ctypes.c_size_t, u64p, ctypes.c_int,
                                    u64p, u64p, u8p, ctypes.c_size_t,
                                    u64p, u64p, u8p]
+    lib.pasta_decompress_many.argtypes = [ctypes.c_int, u8p, u64p,
+                                          ctypes.c_size_t, u64p, u64p, u8p]
     lib.pasta_set_endo.argtypes = [ctypes.c_int, u64p]
     lib.pasta_ipa_fold_glv.argtypes = [u64p, u64p, u64p, ctypes.c_int,
                                        u64p, ctypes.c_int]
@@ -480,6 +482,33 @@ def native_group_ntt(curve_spec, points, omega: int, scale: int = 1):
                          _limbs(scale % q).ctypes.data_as(u64p))
     return [None if infs[i] else (_unlimbs(xs[i]), _unlimbs(ys[i]))
             for i in range(len(points))]
+
+
+def native_decompress_many(curve_spec, data: bytes):
+    """Batch-decompress n reference-encoded 32-byte points (x LE, y
+    parity in the top bit). Returns a list of points (None = identity),
+    raises ValueError on any invalid encoding, or returns False when the
+    native library is unavailable."""
+    idx = _ensure_sswu(curve_spec)
+    if idx is None:
+        return False
+    n = len(data) // 32
+    assert len(data) == 32 * n
+    arr = np.frombuffer(data, np.uint8)
+    out_x = np.zeros((n, 4), np.uint64)
+    out_y = np.zeros((n, 4), np.uint64)
+    flags = np.zeros(n, np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    _lib.pasta_decompress_many(idx, arr.ctypes.data_as(u8p),
+                               _limbs(curve_spec.b).ctypes.data_as(u64p), n,
+                               out_x.ctypes.data_as(u64p),
+                               out_y.ctypes.data_as(u64p),
+                               flags.ctypes.data_as(u8p))
+    if (flags == 2).any():
+        raise ValueError("invalid point encoding")
+    return [None if flags[i] else (_unlimbs(out_x[i]), _unlimbs(out_y[i]))
+            for i in range(n)]
 
 
 # ---------------------------------------------------------------------------

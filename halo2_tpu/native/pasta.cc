@@ -1164,6 +1164,74 @@ void pasta_powmul(int fidx, u64* data, size_t n, const u64 base_mont[4],
     fmul(f, data + 4 * i, &pw[4 * (i % m)], data + 4 * i);
 }
 
+// Batch decompression of the reference's 32-byte point encoding
+// (x LE with the y-parity bit in the top bit of byte 31): the SRS
+// deserialization hot loop (Params::read, commitment.rs:179-205 via
+// helpers.rs CurveRead). b_raw = curve constant b; flags[i]: 0 = ok,
+// 1 = identity, 2 = invalid. Requires pasta_sswu_init (sqrt constants).
+void pasta_decompress_many(int cidx, const uint8_t* data, const u64 b_raw[4],
+                           size_t n, u64* out_x, u64* out_y,
+                           uint8_t* flags) {
+  const Field& f = FIELDS[cidx];
+  const SswuCtx& c = SSWU[cidx];
+  fe bm;
+  to_mont(f, b_raw, bm);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; ++i) {
+    const uint8_t* p = data + 32 * i;
+    u64 x[4];
+    for (int l = 0; l < 4; ++l) {
+      u64 v = 0;
+      for (int j = 7; j >= 0; --j) v = (v << 8) | p[8 * l + j];
+      x[l] = v;
+    }
+    int ysign = (int)((x[3] >> 63) & 1);
+    x[3] &= ~(u64(1) << 63);
+    // reject non-canonical x >= p
+    bool lt = false;
+    for (int l = 3; l >= 0; --l) {
+      if (x[l] != f.p[l]) { lt = x[l] < f.p[l]; break; }
+    }
+    if (!lt) {
+      flags[i] = 2;
+      continue;
+    }
+    if (x[0] == 0 && x[1] == 0 && x[2] == 0 && x[3] == 0 && ysign == 0) {
+      flags[i] = 1;
+      memset(out_x + 4 * i, 0, 32);
+      memset(out_y + 4 * i, 0, 32);
+      continue;
+    }
+    fe xm, y2, y;
+    to_mont(f, x, xm);
+    fsqr(f, xm, y2);
+    fmul(f, y2, xm, y2);
+    fadd(f, y2, bm, y2);
+    if (!fsqrt(f, c, y2, y)) {
+      flags[i] = 2;
+      continue;
+    }
+    u64 yraw[4];
+    from_mont(f, y, yraw);
+    if ((int)(yraw[0] & 1) != ysign) {
+      // y = p - y (y != 0: x = 0 with b = 5 gives y2 = 5, a nonzero
+      // square or rejected above; zero y2 implies x on the curve's
+      // 2-torsion which pasta curves lack)
+      u64 borrow = 0;
+      for (int l = 0; l < 4; ++l) {
+        u64 sub = yraw[l] + borrow;
+        u64 ovf = (borrow && sub == 0) ? 1 : 0;
+        u64 d = f.p[l] - sub;
+        borrow = (u64)(ovf || f.p[l] < sub);
+        yraw[l] = d;
+      }
+    }
+    flags[i] = 0;
+    memcpy(out_x + 4 * i, x, 32);
+    memcpy(out_y + 4 * i, yraw, 32);
+  }
+}
+
 // Initialize the SSWU context for curve `cidx` (= its base-field index).
 // All inputs raw little-endian; (t-1)/2 and S define the Tonelli–Shanks
 // decomposition p - 1 = 2^S * t.

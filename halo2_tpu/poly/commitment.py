@@ -161,7 +161,18 @@ class Params:
     def read(cls, curve: CurveSpec, data: bytes) -> "Params":
         k = int.from_bytes(data[:4], "little")
         n = 1 << k
+        body = data[4:4 + 32 * (2 * n + 2)]
+        if not os.environ.get("HALO2_TPU_NO_NATIVE"):
+            # batch sqrt decompression in the native library: the
+            # per-point Tonelli–Shanks in Python dominates SRS load
+            # (~0.5 ms/point) at bench sizes.
+            from ..curves import native
+            pts = native.native_decompress_many(curve, body)
+            if pts is not False:
+                return cls(curve, k, pts[:n], pts[n:2 * n],
+                           pts[2 * n], pts[2 * n + 1])
         off = 4
+
         def rd():
             nonlocal off
             pt = curve.from_bytes(data[off:off + 32])

@@ -186,3 +186,23 @@ def test_native_msm_many_matches_python(spec):
     mont = np.stack([native.ints_to_limbs([v * R % q for v in r])
                      for r in rows])
     assert native.native_msm_many(spec, mont, packed, True) == want
+
+
+@pytest.mark.parametrize("spec", [PALLAS, VESTA], ids=["pallas", "vesta"])
+def test_native_decompress_many_matches_python(spec):
+    """pasta_decompress_many (batch SRS point deserialization) vs the
+    per-point Python from_bytes oracle, incl. identity and both y
+    parities."""
+    if native._load() is None:
+        pytest.skip("no native toolchain")
+    rng = random.Random(21)
+    pts = [spec.mul(spec.generator, rng.randrange(1, 10 ** 9))
+           for _ in range(31)]
+    pts += [(x, spec.base.modulus - y) for x, y in pts[:5]]  # flip parity
+    pts.append(None)
+    data = b"".join(spec.to_bytes(p) for p in pts)
+    got = native.native_decompress_many(spec, data)
+    assert got is not False and got == pts
+    oracle = [spec.from_bytes(data[i * 32:(i + 1) * 32])
+              for i in range(len(pts))]
+    assert got == oracle
