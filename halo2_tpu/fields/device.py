@@ -18,6 +18,7 @@ derived for 16-bit digits.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -74,23 +75,52 @@ class DeviceField:
     # ---------- host <-> device conversion ----------
     def to_mont_np(self, values) -> np.ndarray:
         """Python ints (nested list / 1-d array of int objects) -> uint32
-        [..., 16] Montgomery-form numpy array. Host-side packing."""
+        [..., 16] Montgomery-form numpy array. Host-side packing via one
+        bytes buffer (+ native Montgomery conversion when available) —
+        the per-element int_to_limbs path cost ~3 us/element, which
+        dominated EvaluationDomain construction at bench sizes."""
         arr = np.asarray(values, dtype=object)
         p = self.spec.modulus
         flat = arr.reshape(-1)
-        out = np.empty((flat.shape[0], NLIMBS), dtype=np.uint32)
-        for i, v in enumerate(flat):
-            out[i] = int_to_limbs((int(v) % p) * R % p)
+        from ..curves import native
+        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
+               else native.field_idx(self.spec))
+        if idx is not None:
+            raw = native.ints_to_limbs([int(v) % p for v in flat]).copy()
+            native.raw_to_mont_inplace(idx, raw, p)
+            out = raw.view(np.uint16).astype(np.uint32).reshape(
+                flat.shape[0], NLIMBS)
+        else:
+            buf = b"".join(
+                ((int(v) % p) * R % p).to_bytes(32, "little") for v in flat)
+            out = (np.frombuffer(buf, np.uint16)
+                   .astype(np.uint32).reshape(flat.shape[0], NLIMBS))
         return out.reshape(arr.shape + (NLIMBS,))
 
     def from_mont_np(self, limbs) -> np.ndarray:
-        """uint32 [..., 16] Montgomery-form -> object array of Python ints."""
+        """uint32 [..., 16] Montgomery-form -> object array of Python ints.
+        Native fast path: one C Montgomery reduction pass + bytes slicing
+        instead of per-element 16-limb recombination."""
         a = np.asarray(limbs)
-        rinv = pow(R, -1, self.spec.modulus)
+        p = self.spec.modulus
         flat = a.reshape(-1, NLIMBS)
+        from ..curves import native
+        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
+               else native.field_idx(self.spec))
         out = np.empty((flat.shape[0],), dtype=object)
+        if idx is not None and flat.shape[0]:
+            u64 = (np.ascontiguousarray(flat.astype(np.uint16))
+                   .view(np.uint64).reshape(-1, 4).copy())
+            one = pow(2, 256, p)
+            # data[i] = fmul(data[i], 1) = data[i] * R^-1  (mont -> raw)
+            native.powmul_inplace(idx, u64, one, 1, 1)
+            buf = u64.tobytes()
+            for i in range(flat.shape[0]):
+                out[i] = int.from_bytes(buf[32 * i:32 * i + 32], "little")
+            return out.reshape(a.shape[:-1])
+        rinv = pow(R, -1, p)
         for i in range(flat.shape[0]):
-            out[i] = limbs_to_int(flat[i]) * rinv % self.spec.modulus
+            out[i] = limbs_to_int(flat[i]) * rinv % p
         return out.reshape(a.shape[:-1])
 
     def scalar(self, v: int) -> jnp.ndarray:

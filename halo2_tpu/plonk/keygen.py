@@ -155,11 +155,16 @@ def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
                 fixed_device, [DEFAULT_BLIND] * len(fixed_device),
                 lagrange=True)
     prof.lap("fixed commits")
-    return VerifyingKey(
+    vk = VerifyingKey(
         curve=params.curve, domain=domain,
         fixed_commitments=fixed_commitments,
         permutation_commitments=permutation_vk,
         cs=cs, cs_degree=cs.degree(), selectors=assembly.selectors)
+    # Memo for keygen_pk: synthesis of the SAME circuit object yields an
+    # identical assembly (fixed cells / selectors / copies), so pk
+    # generation can skip the second synthesis pass entirely.
+    vk._keygen_memo = (circuit, assembly, fixed_ints)
+    return vk
 
 
 def keygen_pk(params: Params, vk: VerifyingKey,
@@ -176,15 +181,25 @@ def keygen_pk(params: Params, vk: VerifyingKey,
 
     from .prover import _PhaseTimer
     prof = _PhaseTimer(tag="keygen_pk")
-    assembly = Assembly(cs, params, fs)
-    _synthesize(circuit.without_witnesses(), config, assembly, cs.constants)
-    prof.lap("synthesize")
-
-    cs, selector_polys = compress_selectors(cs, assembly.selectors)
-    fixed_ints = [batch_evaluate_assigned(fs, col) for col in assembly.fixed]
-    fixed_ints.extend([v % fs.modulus for v in poly]
-                      for poly in selector_polys)
-    prof.lap("compress+evaluate")
+    memo = getattr(vk, "_keygen_memo", None)
+    if memo is not None and memo[0] is circuit:
+        # keygen_vk synthesized this exact circuit object: its assembly
+        # (fixed cells / selectors / copies) and evaluated fixed columns
+        # are identical, so skip the second synthesis pass.
+        assembly, fixed_ints = memo[1], memo[2]
+        cs, _ = compress_selectors(cs, assembly.selectors)
+        prof.lap("synthesize (memoized)")
+    else:
+        assembly = Assembly(cs, params, fs)
+        _synthesize(circuit.without_witnesses(), config, assembly,
+                    cs.constants)
+        prof.lap("synthesize")
+        cs, selector_polys = compress_selectors(cs, assembly.selectors)
+        fixed_ints = [batch_evaluate_assigned(fs, col)
+                      for col in assembly.fixed]
+        fixed_ints.extend([v % fs.modulus for v in poly]
+                          for poly in selector_polys)
+        prof.lap("compress+evaluate")
 
     n = params.n
     blinding_factors = cs.blinding_factors()
