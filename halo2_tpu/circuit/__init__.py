@@ -1,7 +1,7 @@
 from .value import Value, SynthesisError
 from .layouter import (Cell, AssignedCell, Region, Table, Layouter,
                        NamespacedLayouter, SingleChipLayouter, RegionShape,
-                       Chip, Circuit)
+                       Chip, Circuit, BatchRegion, BatchCell)
 
 
 def synthesize_circuit(cs_assignment, circuit, config, constants,

@@ -154,6 +154,79 @@ class Region:
         return self._inner.constrain_equal(left, right)
 
 
+class BatchCell:
+    """Handle for one per-stamp assignment across `count` regions stamped
+    by Layouter.assign_regions: `cell(i)` is the concrete Cell in the
+    i-th stamped region."""
+
+    __slots__ = ("first_region", "row_offset", "column", "count")
+
+    def __init__(self, first_region: int, row_offset: int, column: Column,
+                 count: int):
+        self.first_region = first_region
+        self.row_offset = row_offset
+        self.column = column
+        self.count = count
+
+    def cell(self, i: int) -> Cell:
+        return Cell(self.first_region + i, self.row_offset, self.column)
+
+
+class BatchRegion:
+    """Region proxy for the TPU-native batch synthesis extension
+    (Layouter.assign_regions): the assignment closure runs ONCE and every
+    method takes a VECTOR of values — one entry per stamped region. The
+    resulting layout, permutation cycles, and vk are byte-identical to
+    `count` sequential assign_region calls over the same column set
+    (asserted by tests/test_batch_synthesis.py).
+
+    This is the "batch assignments per region" design the reference's
+    closure-per-cell API can't express (SURVEY.md §7 hard parts): witness
+    synthesis collapses from O(cells) Python call chains to O(distinct
+    cell kinds) vector ops."""
+
+    def __init__(self, first_region: int, count: int):
+        self.first_region = first_region
+        self.count = count
+        self.columns: set = set()
+        self.row_count = 0
+        self.ops: list[tuple] = []
+
+    def _vec(self, values):
+        values = list(values)
+        if len(values) != self.count:
+            raise SynthesisError(
+                f"batch value vector has {len(values)} entries for "
+                f"{self.count} stamped regions")
+        return values
+
+    def enable_selector(self, annotation, selector: Selector, offset: int):
+        self.columns.add(selector)
+        self.row_count = max(self.row_count, offset + 1)
+        self.ops.append(("selector", annotation, selector, offset))
+
+    def assign_advice(self, annotation, column: Column, offset: int,
+                      values) -> BatchCell:
+        self.columns.add(column)
+        self.row_count = max(self.row_count, offset + 1)
+        self.ops.append(("advice", annotation, column, offset,
+                         self._vec(values)))
+        return BatchCell(self.first_region, offset, column, self.count)
+
+    def assign_fixed(self, annotation, column: Column, offset: int,
+                     values) -> None:
+        self.columns.add(column)
+        self.row_count = max(self.row_count, offset + 1)
+        self.ops.append(("fixed", annotation, column, offset,
+                         self._vec(values)))
+
+    def constrain_equal(self, left: BatchCell, right: BatchCell) -> None:
+        """Stamp-wise equality: left.cell(i) == right.cell(i). Both
+        operands must come from THIS assign_regions call (cross-call
+        copies go through Layouter.constrain_equal_batch)."""
+        self.ops.append(("copy", left, right))
+
+
 class Table:
     """Lookup-table assignment handle (circuit.rs:379-414)."""
 
@@ -169,6 +242,19 @@ class Layouter:
     """Layouter trait (circuit.rs:421-495)."""
 
     def assign_region(self, name, assignment: Callable[[Region], object]):
+        raise NotImplementedError
+
+    def assign_regions(self, name, count: int,
+                       assignment: Callable[[BatchRegion], object]):
+        """TPU-native extension: stamp `count` structurally identical
+        regions in one call. `assignment` runs ONCE over a BatchRegion
+        whose methods take length-`count` value vectors; layout and vk
+        are identical to `count` sequential assign_region calls."""
+        raise NotImplementedError
+
+    def constrain_equal_batch(self, left: BatchCell, right: BatchCell):
+        """Stamp-wise copy constraints between two BatchCells (possibly
+        from different assign_regions calls)."""
         raise NotImplementedError
 
     def assign_table(self, name, assignment: Callable[[Table], None]):
@@ -197,6 +283,12 @@ class NamespacedLayouter(Layouter):
 
     def assign_region(self, name, assignment):
         return self.parent.assign_region(name, assignment)
+
+    def assign_regions(self, name, count, assignment):
+        return self.parent.assign_regions(name, count, assignment)
+
+    def constrain_equal_batch(self, left, right):
+        return self.parent.constrain_equal_batch(left, right)
 
     def assign_table(self, name, assignment):
         return self.parent.assign_table(name, assignment)
@@ -420,6 +512,104 @@ class SingleChipLayouter(Layouter):
             self.recorded.const_starts.append(-1)
 
         return result
+
+    def assign_regions(self, name, count, assignment):
+        """Stamp `count` structurally identical regions (see
+        Layouter.assign_regions). Layout matches `count` sequential
+        assign_region calls because every stamp shares one column set:
+        SimpleFloorPlanner places each at the running max first-free
+        row, which for a shared column set is exactly consecutive
+        `row_count`-sized blocks."""
+        if count == 0:
+            return None
+        base = len(self.regions)
+        br = BatchRegion(base, count)
+        result = assignment(br)
+        rows = br.row_count
+
+        if self.plan is not None:
+            starts = self.plan.starts[base:base + count]
+        else:
+            start0 = 0
+            for column in br.columns:
+                start0 = max(start0, self.columns.get(column, 0))
+            starts = [start0 + i * rows for i in range(count)]
+            for column in br.columns:
+                self.columns[column] = start0 + count * rows
+        self.regions.extend(starts)
+        self.recorded.starts.extend(starts)
+        self.recorded.const_starts.extend([-1] * count)
+
+        sink = self.cs_assignment
+        if hasattr(sink, "assign_advice_batch"):
+            sink.enter_region(name)
+            for op in br.ops:
+                kind = op[0]
+                if kind == "advice":
+                    _, ann, col, off, vals = op
+                    sink.assign_advice_batch(
+                        ann, col, [s + off for s in starts], vals)
+                elif kind == "fixed":
+                    _, ann, col, off, vals = op
+                    sink.assign_fixed_batch(
+                        ann, col, [s + off for s in starts], vals)
+                elif kind == "selector":
+                    _, ann, sel, off = op
+                    sink.enable_selector_batch(
+                        ann, sel, [s + off for s in starts])
+                else:  # copy
+                    _, left, right = op
+                    sink.copy_batch(
+                        left.column,
+                        [self.regions[left.first_region + i]
+                         + left.row_offset for i in range(count)],
+                        right.column,
+                        [self.regions[right.first_region + i]
+                         + right.row_offset for i in range(count)])
+            sink.exit_region()
+        else:
+            # per-stamp fallback: byte-identical to sequential
+            # assign_region calls for sinks without batch methods
+            # (MockProver, tracing wrappers)
+            for i in range(count):
+                sink.enter_region(name)
+                for op in br.ops:
+                    kind = op[0]
+                    if kind == "advice":
+                        _, ann, col, off, vals = op
+                        sink.assign_advice(ann, col, starts[i] + off,
+                                           lambda v=vals[i]: v)
+                    elif kind == "fixed":
+                        _, ann, col, off, vals = op
+                        sink.assign_fixed(ann, col, starts[i] + off,
+                                          lambda v=vals[i]: v)
+                    elif kind == "selector":
+                        _, ann, sel, off = op
+                        sink.enable_selector(ann, sel, starts[i] + off)
+                    else:
+                        _, left, right = op
+                        sink.copy(
+                            left.column,
+                            self.regions[left.first_region + i]
+                            + left.row_offset,
+                            right.column,
+                            self.regions[right.first_region + i]
+                            + right.row_offset)
+                sink.exit_region()
+        return result
+
+    def constrain_equal_batch(self, left: BatchCell, right: BatchCell):
+        assert left.count == right.count
+        sink = self.cs_assignment
+        rows_l = [self.regions[left.first_region + i] + left.row_offset
+                  for i in range(left.count)]
+        rows_r = [self.regions[right.first_region + i] + right.row_offset
+                  for i in range(right.count)]
+        if hasattr(sink, "copy_batch"):
+            sink.copy_batch(left.column, rows_l, right.column, rows_r)
+        else:
+            for rl, rr in zip(rows_l, rows_r):
+                sink.copy(left.column, rl, right.column, rr)
 
     def assign_table(self, name, assignment):
         self.cs_assignment.enter_region(name)

@@ -105,6 +105,41 @@ class Assembly:
     def pop_namespace(self, gadget_name=None):
         pass
 
+    # ---- batch synthesis extension (Layouter.assign_regions) ----
+    def assign_advice_batch(self, annotation, column, rows, values):
+        if rows and rows[-1] >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        # advice is ignored during keygen
+
+    def assign_fixed_batch(self, annotation, column: Column,
+                           rows: list[int], values: list) -> None:
+        if rows and rows[-1] >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.fixed[column.index]
+        p = self.fs.modulus
+        for r, v in zip(rows, values):
+            if isinstance(v, Value):
+                if not v.is_known():
+                    continue
+                v = v.inner()
+            col[r] = (v if isinstance(v, Assigned)
+                      else Assigned.trivial(v % p))
+
+    def enable_selector_batch(self, annotation, selector: Selector,
+                              rows: list[int]) -> None:
+        if rows and rows[-1] >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.selectors[selector.index]
+        for r in rows:
+            col[r] = True
+
+    def copy_batch(self, col_a, rows_a, col_b, rows_b) -> None:
+        if ((rows_a and rows_a[-1] >= self.usable_rows)
+                or (rows_b and rows_b[-1] >= self.usable_rows)):
+            raise NotEnoughRowsAvailable(self.k)
+        for ra, rb in zip(rows_a, rows_b):
+            self.permutation.copy(col_a, ra, col_b, rb)
+
 
 def _synthesize(circuit: Circuit, config, assembly, constants):
     from ..circuit import synthesize_circuit

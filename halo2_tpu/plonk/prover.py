@@ -48,12 +48,22 @@ class _PhaseTimer:
 
     def __init__(self, tag: str = "prove"):
         self.enabled = bool(os.environ.get("HALO2_TPU_PROF"))
+        # HALO2_TPU_PROF_SYNC=1: drain the device queue at every lap so
+        # phase times attribute async device work to the phase that
+        # dispatched it (the device executes one stream in order, so a
+        # fresh enqueue+readback waits for everything pending). Skews
+        # total wall-clock — for attribution only.
+        self.sync = bool(os.environ.get("HALO2_TPU_PROF_SYNC"))
         self.tag = tag
         self.t = time.perf_counter()
 
     def lap(self, name: str) -> None:
         if not self.enabled:
             return
+        if self.sync:
+            import numpy as _np
+            import jax.numpy as _jnp
+            _np.asarray(_jnp.zeros(1) + 1)
         now = time.perf_counter()
         print(f"[{self.tag}] {name}: {now - self.t:.2f}s", flush=True)
         self.t = now
@@ -105,6 +115,30 @@ class WitnessCollection:
         pass
 
     def fill_from_row(self, *args):
+        pass
+
+    # ---- batch synthesis extension (Layouter.assign_regions) ----
+    def assign_advice_batch(self, annotation, column: Column,
+                            rows: list[int], values: list) -> None:
+        if rows and rows[-1] >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.advice[column.index]
+        p = self.fs.modulus
+        for r, v in zip(rows, values):
+            if isinstance(v, Value):
+                if not v.is_known():
+                    continue
+                v = v.inner()
+            col[r] = (v if isinstance(v, Assigned)
+                      else Assigned.trivial(v % p))
+
+    def assign_fixed_batch(self, annotation, column, rows, values):
+        pass  # fixed by keygen
+
+    def enable_selector_batch(self, annotation, selector, rows):
+        pass  # selectors are fixed by keygen
+
+    def copy_batch(self, col_a, rows_a, col_b, rows_b):
         pass
 
     def push_namespace(self, name):

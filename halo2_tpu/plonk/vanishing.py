@@ -50,13 +50,18 @@ def vanishing_construct(committed: VanishingCommitted, params, domain,
     fs = params.curve.scalar
     n = params.n
 
+    from .prover import _PhaseTimer
+    prof = _PhaseTimer(tag="vanishing")
     if not h_terms:
         # gate-less circuit: h(X) == 0 (DistributePowers of an empty
         # iterator is the zero constant)
         h_terms = [df.zeros((domain.extended_n,))]
     h = distribute_powers(df, h_terms, df.scalar(y))
+    prof.lap("y-fold")
     h = domain.divide_by_vanishing_poly(h)
+    prof.lap("divide")
     h_coeffs = domain.extended_to_coeff(h)
+    prof.lap("ext->coeff")
     # truncate to n * quotient_poly_degree, split into n-sized pieces
     total = n * domain.quotient_poly_degree
     h_coeffs = h_coeffs[:total]
@@ -65,6 +70,7 @@ def vanishing_construct(committed: VanishingCommitted, params, domain,
     h_blinds = [fs.rand(rng) for _ in h_pieces]
     for pt in params.commit_many(h_pieces, h_blinds, lagrange=False):
         transcript.write_point(pt)
+    prof.lap("commit")
     return VanishingConstructed(h_pieces=h_pieces, h_blinds=h_blinds,
                                 committed=committed)
 

@@ -259,18 +259,16 @@ class Params:
         dev = self.dev
         df = self.scalar_df
         n = values_mont.shape[0]
-        padded_n = max(8, 1 << n.bit_length())  # n+1 blind row -> 2n
-        c = mp.pick_c(padded_n)
+        c = mp.pick_c(n)
         interpret = _interpret_default()
-        key = (id(self), n, c, interpret)
+        key = (self.curve.name, "eager", n, c, interpret)
         fn = Params._COMMIT_JIT.get(key)
         if fn is None:
-            def impl(vals, bdig, gx, gy, gz, wx, wy, wz):
+            def impl(vals, gx, gy, gz):
+                # [blind]w is added on the host after the combine (the
+                # blind row would force padding n+1 up to 2n lanes).
                 d16 = from_mont(df, vals)
-                d16 = jnp.concatenate([d16, bdig], axis=0)
-                pts = JPoint(jnp.concatenate([gx, wx], axis=0),
-                             jnp.concatenate([gy, wy], axis=0),
-                             jnp.concatenate([gz, wz], axis=0))
+                pts = JPoint(gx, gy, gz)
                 d16, pts = _pad_pow2(dev, d16, pts)
                 proj = _jpoint_to_proj(dev, pts)
                 w, _ = mp.msm_pallas_window_sums(
@@ -278,12 +276,13 @@ class Params:
                 return w
             fn = jax.jit(impl)
             Params._COMMIT_JIT[key] = fn
-        bdig = jnp.asarray(
-            _digits16_np(blind % self.curve.scalar.modulus))[None]
-        wsums = fn(values_mont, bdig, bases.x, bases.y, bases.z,
-                   self._w_dev.x, self._w_dev.y, self._w_dev.z)
+        wsums = fn(values_mont, bases.x, bases.y, bases.z)
         window_pts = mp.points_from_proj(self.curve, dev.base, wsums)
-        return mp.host_horner_combine(self.curve, window_pts, c)
+        acc = mp.host_horner_combine(self.curve, window_pts, c)
+        b = blind % self.curve.scalar.modulus
+        if b:
+            acc = self.curve.add(acc, self.curve.mul(self.w, b))
+        return acc
 
     def commit(self, coeffs_mont: jnp.ndarray, blind: int) -> Point:
         assert coeffs_mont.shape[0] == self.n
@@ -325,8 +324,7 @@ class Params:
         dev = self.dev
         df = self.scalar_df
         n = self.n
-        padded_n = max(8, 1 << n.bit_length())
-        c = mp.pick_c(padded_n)
+        c = mp.pick_c(n)
         interpret = _interpret_default()
         # Lane count padded to a power of two and keyed WITHOUT the basis
         # flag (bases are runtime arguments): on the tunneled backend the
@@ -337,28 +335,19 @@ class Params:
         if m < m_pad:
             polys_mont = list(polys_mont) + [
                 jnp.zeros_like(polys_mont[0])] * (m_pad - m)
-            blinds = list(blinds) + [0] * (m_pad - m)
         m_req, m = m, m_pad
         key = (self.curve.name, self.k, m, c, interpret)
         fn = Params._COMMIT_JIT.get(key)
         if fn is None:
-            from ..ops.msm import _jpoint_to_proj
 
-            def impl(vals, bdig, gx, gy, gz, wx, wy, wz):
-                # vals [m, n, 16], bdig [m, 1, 16]
+            def impl(vals, gx, gy, gz):
+                # vals [m, n, 16]. The [blind]w term is added on the
+                # host after the combine: appending the blind row made
+                # the MSM n+1 points, and padding THAT to a power of two
+                # doubled the bucket-round count (2^16 -> 2^17 lanes).
+                from ..ops.msm import _jpoint_to_proj
                 d16 = from_mont(df, vals)
-                d16 = jnp.concatenate([d16, bdig], axis=1)
-                pad = padded_n - (n + 1)
-                d16 = jnp.concatenate(
-                    [d16, jnp.zeros((m, pad, NLIMBS), d16.dtype)], axis=1)
-                pts = JPoint(jnp.concatenate([gx, wx], axis=0),
-                             jnp.concatenate([gy, wy], axis=0),
-                             jnp.concatenate([gz, wz], axis=0))
-                ident = dev.identity((pad,))
-                pts = JPoint(jnp.concatenate([pts.x, ident.x], axis=0),
-                             jnp.concatenate([pts.y, ident.y], axis=0),
-                             jnp.concatenate([pts.z, ident.z], axis=0))
-                proj = _jpoint_to_proj(dev, pts)
+                proj = _jpoint_to_proj(dev, JPoint(gx, gy, gz))
                 w, _ = mp.msm_pallas_window_sums_many(
                     dev.spec, dev.base, d16, proj, c, interpret=interpret)
                 return w
@@ -366,12 +355,9 @@ class Params:
             Params._COMMIT_JIT[key] = fn
         from ..plonk.prover import _PhaseTimer
         prof = _PhaseTimer("commit_many")
-        bdig = jnp.asarray(np.stack(
-            [_digits16_np(b % fs.modulus) for b in blinds]))[:, None, :]
         vals = jnp.stack(polys_mont, axis=0)
         bases = self.g_lagrange_dev if lagrange else self.g_dev
-        wsums = fn(vals, bdig, bases.x, bases.y, bases.z,
-                   self._w_dev.x, self._w_dev.y, self._w_dev.z)
+        wsums = fn(vals, bases.x, bases.y, bases.z)
         prof.lap(f"dispatch m={m}")
         wsums_np = np.asarray(wsums)
         prof.lap("readback")
@@ -379,7 +365,11 @@ class Params:
         for j in range(m_req):
             window_pts = mp.points_from_proj(self.curve, dev.base,
                                              wsums_np[j])
-            out.append(mp.host_horner_combine(self.curve, window_pts, c))
+            acc = mp.host_horner_combine(self.curve, window_pts, c)
+            b = blinds[j] % fs.modulus
+            if b:
+                acc = self.curve.add(acc, self.curve.mul(self.w, b))
+            out.append(acc)
         prof.lap("host combine")
         return out
 
