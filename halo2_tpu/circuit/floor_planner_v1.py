@@ -280,7 +280,6 @@ def synthesize_v1(cs_assignment, circuit, config, constants: list[Column],
     layouter.region_counter = 0
     circuit.synthesize(config, layouter)
 
-    positions = list(constant_positions())
     if len(positions) < len(layouter.constants_to_assign):
         raise NotEnoughColumnsForConstants()
     for (fixed_column, fixed_row), (value, advice_cell) in zip(

@@ -107,13 +107,13 @@ class Assembly:
 
     # ---- batch synthesis extension (Layouter.assign_regions) ----
     def assign_advice_batch(self, annotation, column, rows, values):
-        if rows and rows[-1] >= self.usable_rows:
+        if rows and max(rows) >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         # advice is ignored during keygen
 
     def assign_fixed_batch(self, annotation, column: Column,
                            rows: list[int], values: list) -> None:
-        if rows and rows[-1] >= self.usable_rows:
+        if rows and max(rows) >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         col = self.fixed[column.index]
         p = self.fs.modulus
@@ -127,15 +127,15 @@ class Assembly:
 
     def enable_selector_batch(self, annotation, selector: Selector,
                               rows: list[int]) -> None:
-        if rows and rows[-1] >= self.usable_rows:
+        if rows and max(rows) >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         col = self.selectors[selector.index]
         for r in rows:
             col[r] = True
 
     def copy_batch(self, col_a, rows_a, col_b, rows_b) -> None:
-        if ((rows_a and rows_a[-1] >= self.usable_rows)
-                or (rows_b and rows_b[-1] >= self.usable_rows)):
+        if ((rows_a and max(rows_a) >= self.usable_rows)
+                or (rows_b and max(rows_b) >= self.usable_rows)):
             raise NotEnoughRowsAvailable(self.k)
         for ra, rb in zip(rows_a, rows_b):
             self.permutation.copy(col_a, ra, col_b, rb)

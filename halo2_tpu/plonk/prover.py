@@ -120,7 +120,7 @@ class WitnessCollection:
     # ---- batch synthesis extension (Layouter.assign_regions) ----
     def assign_advice_batch(self, annotation, column: Column,
                             rows: list[int], values: list) -> None:
-        if rows and rows[-1] >= self.usable_rows:
+        if rows and max(rows) >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         col = self.advice[column.index]
         p = self.fs.modulus

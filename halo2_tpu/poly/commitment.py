@@ -161,6 +161,10 @@ class Params:
     def read(cls, curve: CurveSpec, data: bytes) -> "Params":
         k = int.from_bytes(data[:4], "little")
         n = 1 << k
+        if len(data) < 4 + 32 * (2 * n + 2):
+            raise ValueError(
+                f"truncated SRS buffer: need {4 + 32 * (2 * n + 2)} bytes "
+                f"for k={k}, got {len(data)}")
         body = data[4:4 + 32 * (2 * n + 2)]
         if not os.environ.get("HALO2_TPU_NO_NATIVE"):
             # batch sqrt decompression in the native library: the
