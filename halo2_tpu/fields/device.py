@@ -123,6 +123,44 @@ class DeviceField:
             out[i] = limbs_to_int(flat[i]) * rinv % p
         return out.reshape(a.shape[:-1])
 
+    def from_mont_u64(self, limbs) -> np.ndarray:
+        """uint32 [..., 16] Montgomery-form -> canonical (n, 4) uint64 LE
+        limb array (native-library layout). Vectorized sibling of
+        from_mont_np for callers that sort/compare rather than need
+        Python ints."""
+        a = np.asarray(limbs)
+        p = self.spec.modulus
+        flat = a.reshape(-1, NLIMBS)
+        from ..curves import native
+        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
+               else native.field_idx(self.spec))
+        if idx is not None and flat.shape[0]:
+            u64 = (np.ascontiguousarray(flat.astype(np.uint16))
+                   .view(np.uint64).reshape(-1, 4).copy())
+            one = pow(2, 256, p)
+            native.powmul_inplace(idx, u64, one, 1, 1)
+            return u64
+        ints = self.from_mont_np(flat)
+        buf = b"".join(int(v).to_bytes(32, "little") for v in ints)
+        return np.frombuffer(buf, np.uint64).reshape(-1, 4).copy()
+
+    def upload_canonical_u64(self, raw_u64: np.ndarray) -> jnp.ndarray:
+        """Canonical (n, 4) uint64 LE limbs -> [n, 16] Montgomery device
+        array. Native Montgomery conversion on the host when available
+        (upload stays in the compact 16-bit wire format); otherwise the
+        R^2-multiply runs as part of the upload_values dispatch."""
+        from ..curves import native
+        idx = (None if os.environ.get("HALO2_TPU_NO_NATIVE")
+               else native.field_idx(self.spec))
+        if idx is not None:
+            mont = np.ascontiguousarray(raw_u64, dtype=np.uint64).copy()
+            native.raw_to_mont_inplace(idx, mont, self.spec.modulus)
+            return self.upload_mont(mont)
+        buf = np.ascontiguousarray(raw_u64, dtype=np.uint64).tobytes()
+        vals = [int.from_bytes(buf[32 * i:32 * i + 32], "little")
+                for i in range(len(raw_u64))]
+        return self.upload_values(vals)
+
     def scalar(self, v: int) -> jnp.ndarray:
         """Single field element (int, NOT in Montgomery form) -> device."""
         p = self.spec.modulus

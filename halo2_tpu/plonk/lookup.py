@@ -124,48 +124,79 @@ def permute_expression_pair(cs: ConstraintSystem, params, rng,
     """lookup/prover.rs:563-647: sort input; first occurrence of each input
     value is mirrored in the table column; remaining table rows are filled
     with leftover table entries (in increasing order, popping repeated-row
-    positions from the back). Exact host algorithm on canonical ints."""
+    positions from the back).
+
+    Vectorized: 255-bit values are replaced by dense ranks (one lexsort
+    over the union's 4x64-bit canonical limbs), and the whole
+    sort/first-occurrence/leftover-fill pipeline runs as numpy array ops —
+    no Python-int sort on the prove path (the old object-array sort cost
+    O(n log n) bigint comparisons per lookup per proof)."""
+    import os
     df = params.scalar_df
     fs = params.curve.scalar
     n = params.n
     blinding_factors = cs.blinding_factors()
     usable = n - (blinding_factors + 1)
 
-    inputs = [int(v) for v in df.from_mont_np(
-        np.asarray(input_values))[:usable]]
-    tables = [int(v) for v in df.from_mont_np(
-        np.asarray(table_values))[:usable]]
+    in_limbs = df.from_mont_u64(np.asarray(input_values)[:usable])
+    tab_limbs = df.from_mont_u64(np.asarray(table_values)[:usable])
 
-    inputs.sort()
-    leftover: dict[int, int] = {}
-    for t in tables:
-        leftover[t] = leftover.get(t, 0) + 1
+    # dense ranks over the union, ascending in canonical value
+    allv = np.concatenate([in_limbs, tab_limbs], axis=0)
+    order = np.lexsort((allv[:, 0], allv[:, 1], allv[:, 2], allv[:, 3]))
+    svals = allv[order]
+    new_grp = np.ones(len(svals), dtype=bool)
+    new_grp[1:] = (svals[1:] != svals[:-1]).any(axis=1)
+    ranks = np.empty(len(allv), dtype=np.int64)
+    ranks[order] = np.cumsum(new_grp) - 1
+    ndistinct = int(ranks.max()) + 1
+    rep = np.zeros((ndistinct, 4), np.uint64)
+    rep[ranks] = allv  # representative limbs per rank
 
-    permuted_table = [0] * usable
-    repeated_rows = []
-    for row, v in enumerate(inputs):
-        if row == 0 or v != inputs[row - 1]:
-            permuted_table[row] = v
-            cnt = leftover.get(v)
-            if not cnt:
-                raise ValueError(
-                    "lookup input not contained in table "
-                    "(ConstraintSystemFailure)")
-            leftover[v] = cnt - 1
-        else:
-            repeated_rows.append(row)
-    # fill with leftovers in increasing key order (BTreeMap iteration)
-    for coeff in sorted(leftover):
-        for _ in range(leftover[coeff]):
-            permuted_table[repeated_rows.pop()] = coeff
-    assert not repeated_rows
+    in_ranks = np.sort(ranks[:usable])          # = sorted inputs
+    tab_counts = np.bincount(ranks[usable:], minlength=ndistinct)
 
-    inputs.extend(fs.rand(rng) for _ in range(blinding_factors + 1))
-    permuted_table.extend(fs.rand(rng) for _ in range(blinding_factors + 1))
+    first = np.ones(usable, dtype=bool)
+    first[1:] = in_ranks[1:] != in_ranks[:-1]
+    uniq = in_ranks[first]
+    if (tab_counts[uniq] < 1).any():
+        raise ValueError(
+            "lookup input not contained in table "
+            "(ConstraintSystemFailure)")
+    leftover = tab_counts.copy()
+    leftover[uniq] -= 1
+    # leftover values ascending, assigned to repeated rows popped from
+    # the back (BTreeMap iteration + Vec::pop in the reference) — i.e.
+    # repeated rows in ascending order get the leftovers DESCENDING
+    leftover_ranks = np.repeat(np.arange(ndistinct), leftover)
+    repeated = np.nonzero(~first)[0]
+    assert len(repeated) == len(leftover_ranks)
+    perm_tab_ranks = in_ranks.copy()
+    perm_tab_ranks[repeated] = leftover_ranks[::-1]
 
-    pi = df.upload_values(inputs)
-    pt = df.upload_values(permuted_table)
+    if os.environ.get("HALO2_TPU_SANITY"):
+        # permuted-pair well-formedness (lookup/prover.rs:628-641):
+        # every row has A'[i] == S'[i] or A'[i] == A'[i-1]
+        eq_ts = perm_tab_ranks == in_ranks
+        eq_prev = np.zeros(usable, dtype=bool)
+        eq_prev[1:] = in_ranks[1:] == in_ranks[:-1]
+        assert bool((eq_ts | eq_prev).all()), \
+            "permuted pair violates A'==S' or A'==A'_prev"
+
+    pi_limbs = np.concatenate([rep[in_ranks], native_rand_limbs(
+        fs, rng, blinding_factors + 1)], axis=0)
+    pt_limbs = np.concatenate([rep[perm_tab_ranks], native_rand_limbs(
+        fs, rng, blinding_factors + 1)], axis=0)
+    pi = df.upload_canonical_u64(pi_limbs)
+    pt = df.upload_canonical_u64(pt_limbs)
     return pi, pt
+
+
+def native_rand_limbs(fs, rng, count: int) -> np.ndarray:
+    """(count, 4) u64 canonical limbs of fs.rand draws (RNG call order
+    matches the reference's per-element sampling)."""
+    buf = b"".join(fs.rand(rng).to_bytes(32, "little") for _ in range(count))
+    return np.frombuffer(buf, np.uint64).reshape(count, 4)
 
 
 _LOOKUP_Z_JIT: dict = {}
@@ -199,6 +230,16 @@ def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
     z = fn(permuted.permuted_input, permuted.permuted_table,
            permuted.compressed_input, permuted.compressed_table,
            df.scalar(beta), df.scalar(gamma))
+
+    import os
+    if os.environ.get("HALO2_TPU_SANITY"):
+        # telescoping (lookup/prover.rs:339-376): z[0] == 1 and the
+        # product closes back to 1 at the last usable row boundary
+        u = n - (blinding_factors + 1)
+        ends = df.from_mont_np(np.asarray(z)[[0, u]])
+        assert int(ends[0]) == 1, "lookup z[0] != 1"
+        assert int(ends[1]) == 1, \
+            "lookup grand product does not telescope (z[u] != 1)"
 
     blinds = [fs.rand(rng) for _ in range(blinding_factors)]
     z = jnp.concatenate([

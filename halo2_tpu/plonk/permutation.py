@@ -291,6 +291,14 @@ def permutation_commit(cs: ConstraintSystem, params, domain,
         z_arrays.append(z)
         blinds_out.append(fs.rand(rng))
 
+    import os
+    if columns and os.environ.get("HALO2_TPU_SANITY"):
+        # the chained grand product over ALL chunks must telescope back
+        # to 1 (σ is a bijection on the usable rows); last_z after the
+        # final chunk IS that total product
+        assert last_z == 1, \
+            "permutation grand product does not telescope (last_z != 1)"
+
     commitments = params.commit_many(z_arrays, blinds_out, lagrange=True)
     z_polys, z_cosets = domain.lagrange_to_coeff_extended_many(z_arrays)
     sets: list[CommittedSet] = []

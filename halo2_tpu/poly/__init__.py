@@ -1,4 +1,4 @@
-from .polynomial import Poly, Rotation, rotate, COEFF, LAGRANGE, EXTENDED
+from .polynomial import Rotation, rotate
 from .domain import EvaluationDomain
 from .utils import (powers, tree_add, eval_poly, inner_product,
                     kate_division, distribute_powers)

@@ -1,30 +1,20 @@
-"""Basis-tagged device polynomials + rotation.
+"""Polynomial rotation over device arrays.
 
-Reference: halo2_proofs/src/poly.rs:33-323 (`Polynomial<F, B>` with phantom
-basis Coeff / LagrangeCoeff / ExtendedLagrangeCoeff; `Rotation(i32)`).
-On TPU a polynomial is a Montgomery-form uint32 [n, 16] array; rotation is
-`jnp.roll` (an index shift, never a copy of rotated data into the
-expression graph — matching the reference's no-materialization design,
-poly.rs:236-285).
+Reference: halo2_proofs/src/poly.rs:33-323. The reference's
+`Polynomial<F, B>` phantom-basis wrapper is deliberately NOT mirrored: on
+TPU a polynomial is a raw Montgomery-form uint32 [n, 16] array so it can
+flow through jit/shard_map boundaries without unwrap/rewrap; basis
+discipline lives in the EvaluationDomain method names
+(lagrange_to_coeff / coeff_to_extended / ...), whose input/output bases
+are part of their contracts. Rotation is `jnp.roll` (an index shift,
+never a copy of rotated data into the expression graph — matching the
+reference's no-materialization design, poly.rs:236-285).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 
 import jax.numpy as jnp
-
-COEFF = "coeff"
-LAGRANGE = "lagrange"
-EXTENDED = "extended"
-
-
-@dataclass
-class Poly:
-    values: jnp.ndarray  # [n, 16] mont
-    basis: str
-
-    def __len__(self):
-        return self.values.shape[0]
 
 
 @dataclass(frozen=True)

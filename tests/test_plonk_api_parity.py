@@ -210,3 +210,82 @@ def test_mock_prover_satisfied(artifacts):
     circuit = PlonkApiCircuit(a, [instance, a, a, 0])
     prover = MockProver.run(K, circuit, [[instance]], fs=FP)
     prover.assert_satisfied()
+
+
+# --------------------------------------------------------------------------
+# End-to-end PROVE over the lookup + multi-chunk permutation circuit
+# (plonk_api.rs:438-496). The reference's stored proof pins the verifier;
+# these pin the PROVER: lookup_commit_permuted / commit_product and a
+# >1-chunk permutation commit run for real, with a fixed RNG so the proof
+# bytes are a stable golden artifact.
+# --------------------------------------------------------------------------
+
+def _plonk_api_prove(params, pk, circuits, instances, seed=1234):
+    import random
+    from halo2_tpu.transcript import TranscriptWrite
+    from halo2_tpu.plonk import create_proof
+    tw = TranscriptWrite(VESTA)
+    create_proof(params, pk, circuits, instances, random.Random(seed), tw)
+    return tw.finalize()
+
+
+def test_lookup_circuit_prove_and_verify(artifacts, monkeypatch):
+    import hashlib
+    from halo2_tpu.plonk import BatchVerifier
+    from halo2_tpu.dev.cost import CircuitCost
+    monkeypatch.setenv("HALO2_TPU_SANITY", "1")  # in-prover asserts on
+
+    params, vk, a, instance = artifacts
+    lookup_table = [instance, a, a, 0]
+    circuit = PlonkApiCircuit(a, lookup_table)
+
+    # multi-chunk permutation: 13 equality columns / (degree-2) chunk len
+    cs = vk.cs
+    chunk_len = max(cs.degree() - 2, 1)
+    n_chunks = -(-len(cs.permutation.columns) // chunk_len)
+    assert n_chunks > 1, "circuit must exercise >1 permutation chunk"
+
+    pk = keygen_pk(params, vk, circuit)
+    proof = _plonk_api_prove(params, pk, [circuit, circuit],
+                             [[[instance]], [[instance]]])
+
+    # byte-exact size from the static cost model (plonk_api.rs:491-496)
+    expected = CircuitCost.measure(K, circuit).proof_size_exact(2).total
+    assert len(proof) == expected
+
+    # golden artifact: fixed RNG => stable bytes across runs/refactors
+    golden_path = os.path.join(GOLDEN, "plonk_api_tpu_proof.bin")
+    if os.environ.get("HALO2_TPU_TEST_GENERATE_NEW_PROOF") or \
+            not os.path.exists(golden_path):
+        with open(golden_path, "wb") as f:
+            f.write(proof)
+    golden = open(golden_path, "rb").read()
+    assert hashlib.sha256(proof).hexdigest() == \
+        hashlib.sha256(golden).hexdigest()
+
+    tr = TranscriptRead(VESTA, proof)
+    verify_proof(params, vk, SingleVerifier(params),
+                 [[[instance]], [[instance]]], tr)
+
+    batch = BatchVerifier(params)
+    batch.add_proof([[[instance]], [[instance]]], proof)
+    assert batch.finalize(vk)
+
+    # wrong public input rejected
+    from halo2_tpu.plonk import VerificationError
+    with pytest.raises(VerificationError):
+        tr_bad = TranscriptRead(VESTA, proof)
+        verify_proof(params, vk, SingleVerifier(params),
+                     [[[instance]], [[instance + 1]]], tr_bad)
+
+
+def test_lookup_bad_witness_rejected(artifacts):
+    """A witness outside the lookup table must fail in
+    lookup_commit_permuted (ConstraintSystemFailure), not produce a
+    verifying proof."""
+    params, vk, a, instance = artifacts
+    bad_a = (a + 1) % FP.modulus  # not in the table
+    circuit = PlonkApiCircuit(bad_a, [instance, a, a, 0])
+    pk = keygen_pk(params, vk, circuit)
+    with pytest.raises(ValueError, match="not contained in table"):
+        _plonk_api_prove(params, pk, [circuit], [[[instance]]])
