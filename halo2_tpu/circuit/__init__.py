@@ -14,6 +14,12 @@ def synthesize_circuit(cs_assignment, circuit, config, constants,
     shape — repeat proofs skip the measurement pass entirely. Layout
     depends only on the shape, never on witness values (the contract
     V1's dual-pass relies on, v1.rs:60-141)."""
+    events = getattr(circuit, "_tfp_events", None)
+    if events is not None:
+        # dev.tfp.attach_tracing marked this circuit: interpose the
+        # tracing sink (observation only — layout/vk/proof unchanged)
+        from ..dev.tfp import wrap_sink
+        cs_assignment = wrap_sink(cs_assignment, events)
     planner = getattr(type(circuit), "floor_planner", "simple")
     if planner == "v1":
         from .floor_planner_v1 import synthesize_v1

@@ -132,4 +132,11 @@ class Sha256:
                                      self.cur_block[BLOCK_SIZE:])
             self.state = self.chip.compress(self.layouter, self.state,
                                             block)
+            if len(self.cur_block) >= BLOCK_SIZE:
+                # the post-compress digest state carries only dense
+                # halves; re-decompose before the next compression
+                # (sha256.rs:115-123 interposes initialization before
+                # every additional block)
+                self.state = self.chip.initialization(self.layouter,
+                                                      self.state)
         return self.chip.digest(self.layouter, self.state)

@@ -146,6 +146,16 @@ def _synthesize(circuit: Circuit, config, assembly, constants):
     synthesize_circuit(assembly, circuit, config, constants)
 
 
+def _witness_free(circuit: Circuit) -> Circuit:
+    """circuit.without_witnesses(), propagating the dev.tfp tracing
+    marker so keygen synthesis is traced too."""
+    wf = circuit.without_witnesses()
+    events = getattr(circuit, "_tfp_events", None)
+    if events is not None:
+        wf._tfp_events = events
+    return wf
+
+
 
 def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
     """keygen.rs:189-244."""
@@ -159,7 +169,7 @@ def keygen_vk(params: Params, circuit: Circuit) -> VerifyingKey:
     prof.lap("domain")
 
     assembly = Assembly(cs, params, fs)
-    _synthesize(circuit.without_witnesses(), config, assembly, cs.constants)
+    _synthesize(_witness_free(circuit), config, assembly, cs.constants)
     prof.lap("synthesize")
 
     cs, selector_polys = compress_selectors(cs, assembly.selectors)
@@ -226,7 +236,7 @@ def keygen_pk(params: Params, vk: VerifyingKey,
         prof.lap("synthesize (memoized)")
     else:
         assembly = Assembly(cs, params, fs)
-        _synthesize(circuit.without_witnesses(), config, assembly,
+        _synthesize(_witness_free(circuit), config, assembly,
                     cs.constants)
         prof.lap("synthesize")
         cs, selector_polys = compress_selectors(cs, assembly.selectors)

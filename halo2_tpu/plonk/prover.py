@@ -22,7 +22,7 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
-from ..fields.device import NLIMBS
+from ..fields.device import NLIMBS, fadd, fmul
 from ..poly.commitment import Params, DEFAULT_BLIND
 from ..poly.multiopen import ProverQuery, multiopen_create_proof
 from ..poly.utils import eval_poly
@@ -262,35 +262,52 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     prof.lap("vanishing random")
     y = transcript.squeeze_challenge()
 
-    # ---- h(X) terms ----
+    # ---- h(X): streamed y-fold of the constraint terms ----
+    # The fold acc = acc*y + term runs as terms are produced instead of
+    # materializing every (extended_n, 16) term first (the reference's
+    # evaluator folds incrementally per chunk, poly/evaluator.rs:210-227;
+    # dozens of Table16 gate polys at k=17 would otherwise hold ~64 MB
+    # each of live device memory). Same Horner order => identical bytes.
     coset_pts = coset_points(domain)
     rot_scale = 1 << (domain.extended_k - domain.k)
-    h_terms = []
+    ext_n = domain.extended_n
+    y_m = df.scalar(y)
+    h_acc = None
+
+    def h_fold(term):
+        nonlocal h_acc
+        if h_acc is None:
+            h_acc = term
+        else:
+            h_acc = fadd(df, fmul(df, h_acc,
+                                  jnp.broadcast_to(y_m, h_acc.shape)), term)
+
     for inst_s, adv_s, perm_sets, lk_committed in zip(
             instance_singles, advice_singles, permutations_committed,
             lookups_committed):
         # gate constraints
         for gate in cs.gates:
             for expr in gate.polys:
-                h_terms.append(evaluate_expression(
+                h_fold(evaluate_expression(
                     df, expr, advice=adv_s["cosets"],
                     fixed=pk.fixed_cosets, instance=inst_s["cosets"],
                     rot_scale=rot_scale))
         # permutation constraints
-        h_terms.extend(permutation_h_terms(
-            cs, domain, pk.permutation, perm_sets,
-            adv_s["cosets"], pk.fixed_cosets, inst_s["cosets"],
-            pk.l0, pk.l_blind, pk.l_last, coset_pts, beta, gamma))
+        for term in permutation_h_terms(
+                cs, domain, pk.permutation, perm_sets,
+                adv_s["cosets"], pk.fixed_cosets, inst_s["cosets"],
+                pk.l0, pk.l_blind, pk.l_last, coset_pts, beta, gamma):
+            h_fold(term)
         # lookup constraints
         for committed in lk_committed:
-            h_terms.extend(lookup_h_terms(
-                committed, domain, theta, beta, gamma,
-                adv_s["cosets"], pk.fixed_cosets, inst_s["cosets"],
-                pk.l0, pk.l_blind, pk.l_last))
+            for term in lookup_h_terms(
+                    committed, domain, theta, beta, gamma,
+                    adv_s["cosets"], pk.fixed_cosets, inst_s["cosets"],
+                    pk.l0, pk.l_blind, pk.l_last):
+                h_fold(term)
 
-    # broadcast any scalar-shaped terms to full extended length
-    ext_n = domain.extended_n
-    h_terms = [jnp.broadcast_to(t, (ext_n, NLIMBS)) for t in h_terms]
+    h_terms = ([] if h_acc is None
+               else [jnp.broadcast_to(h_acc, (ext_n, NLIMBS))])
 
     prof.lap("h terms build")
     constructed = vanishing_construct(vanishing, params, domain, h_terms, y,

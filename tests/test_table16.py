@@ -84,6 +84,49 @@ def test_raw_rounds_ties_to_fips():
     assert [(r + iv) & 0xFFFFFFFF for r, iv in zip(raw, IV)] == list(fips)
 
 
+class BenchSha256Circuit(Circuit):
+    """The reference bench preimage (halo2_gadgets/benches/sha256.rs:
+    31 words): the FIPS-padded message spans 2 blocks inside finalize,
+    exercising the re-initialization between consecutive finalize
+    compressions."""
+
+    def without_witnesses(self):
+        return BenchSha256Circuit()
+
+    @classmethod
+    def configure(cls, meta):
+        return Table16Chip.configure(meta)
+
+    def synthesize(self, config, layouter):
+        Table16Chip.load(config, layouter)
+        chip = Table16Chip(config)
+        sha = Sha256(chip, layouter)
+        sha.update([BlockWord(Value.known(0b01111000))] * 31)
+        self.digest_out = [w.value.inner() for w in sha.finalize()]
+
+
+def test_table16_bench_preimage_digest():
+    """Regression: finalize over >1 block crashed (post-compress state
+    has no decomposed pieces). Expected digest follows the chip's
+    chained-rounds semantics (initialization_with_state re-decomposes
+    the raw round output without the FIPS feed-forward addition — the
+    reference's unstable-sha256-gadget quirk, sha256.rs:115-123).
+    Full MockProver.verify() of a second k=17 circuit is skipped to
+    keep suite time bounded — gates are identical to the two-block
+    test."""
+    circuit = BenchSha256Circuit()
+    MockProver.run(K, circuit, [])  # full synthesis at k=17
+    msg = [0b01111000] * 31
+    length = 31 * 32
+    pad = [0x80000000] + [0] * 14 + [length >> 32, length & 0xFFFFFFFF]
+    words = msg + pad  # 48 words = 3 blocks
+    assert len(words) == 48
+    state = list(IV)
+    for i in range(0, 48, 16):
+        state = compress_rounds_only(state, words[i:i + 16])
+    assert circuit.digest_out == state
+
+
 def test_table16_sha256_two_blocks():
     pad = [0x80000000] + [0] * 13 + [0, 512]  # FIPS framing, 512-bit msg
     state = compress_rounds_only(list(IV), [INPUT_WORD] * 16)
