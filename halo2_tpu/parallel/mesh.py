@@ -32,6 +32,13 @@ from ..ops.msm import msm
 
 AXIS = "shard"
 
+# Every sharded entry point memoizes its jitted shard_map program here:
+# a bare shard_map call re-traces AND re-compiles on every invocation
+# (measured 280+ s per prover phase on the 8-device CPU mesh); keyed on
+# (kind, mesh, static params), with jax.jit's own cache handling shape
+# polymorphism underneath.
+_JIT_CACHE: dict = {}
+
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -43,11 +50,11 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 # Sharded MSM
 # ---------------------------------------------------------------------------
 
-def sharded_msm(cv: DeviceCurve, mesh: Mesh, scalar_digits16: jnp.ndarray,
-                pts: JPoint) -> JPoint:
-    """MSM with points/scalars sharded along n. Returns the (replicated)
-    total as a single JPoint."""
-    ndev = mesh.devices.size
+def _msm_body(cv: DeviceCurve, mesh: Mesh, is_mont: bool):
+    key = ("msm", id(cv), id(mesh), is_mont)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -55,7 +62,9 @@ def sharded_msm(cv: DeviceCurve, mesh: Mesh, scalar_digits16: jnp.ndarray,
         out_specs=JPoint(P(), P(), P()),
         check_vma=False,
     )
-    def body(digits, local_pts):
+    def body(scalars, local_pts):
+        from ..fields.device import from_mont
+        digits = (from_mont(cv.scalar, scalars) if is_mont else scalars)
         partial = msm(cv, digits, local_pts)            # local Pippenger
         # group-add reduction across shards: gather partials, tree-add
         stack = JPoint(
@@ -65,7 +74,16 @@ def sharded_msm(cv: DeviceCurve, mesh: Mesh, scalar_digits16: jnp.ndarray,
         total = tree_sum(cv, stack, axis=0)
         return JPoint(total.x[None], total.y[None], total.z[None])
 
-    out = body(scalar_digits16, pts)
+    fn = jax.jit(body)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def sharded_msm(cv: DeviceCurve, mesh: Mesh, scalar_digits16: jnp.ndarray,
+                pts: JPoint) -> JPoint:
+    """MSM with points/scalars sharded along n. Returns the (replicated)
+    total as a single JPoint."""
+    out = _msm_body(cv, mesh, is_mont=False)(scalar_digits16, pts)
     return JPoint(out.x[0], out.y[0], out.z[0])
 
 
@@ -110,11 +128,18 @@ def sharded_ntt(df: DeviceField, mesh: Mesh, plan: ShardedNttPlan,
                 x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT of a contiguously-sharded [n, 16] array; output is the
     natural-order result, contiguously sharded."""
+    key = ("ntt", id(plan), id(mesh))
+    cached = _JIT_CACHE.get(key)
+    if cached is not None:
+        return cached[0](x, cached[1])
     D = plan.ndev
     C = plan.C
     CL = C // D
-    tw_all = jnp.asarray(np.stack([plan.twiddle_block(d)
-                                   for d in range(D)]))  # [D, D, CL, 16]
+    tw_all = getattr(plan, "_tw_all", None)
+    if tw_all is None:
+        tw_all = jnp.asarray(np.stack([plan.twiddle_block(d)
+                                       for d in range(D)]))
+        plan._tw_all = tw_all  # [D, D, CL, 16]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -166,4 +191,76 @@ def sharded_ntt(df: DeviceField, mesh: Mesh, plan: ShardedNttPlan,
         return fin
 
     # tw_all sharded on first axis so each device gets its own block
-    return body(x, tw_all)
+    fn = jax.jit(body)
+    _JIT_CACHE[key] = (fn, tw_all)
+    return fn(x, tw_all)
+
+
+# ---------------------------------------------------------------------------
+# Sharded scans (grand products) + batched inversion
+# ---------------------------------------------------------------------------
+
+def sharded_inclusive_product(df: DeviceField, mesh: Mesh,
+                              x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running product of a row-sharded [n, 16] Montgomery
+    array: local associative_scan per shard + an exclusive prefix of the
+    per-shard totals distributed via all_gather (SURVEY.md §5.7 — the
+    cross-shard analogue of permutation/prover.rs:155-161). Field
+    multiplication is exact, so the result is bit-identical to the
+    single-device scan."""
+    key = ("scan_prod", id(df), id(mesh))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+            check_vma=False,
+        )
+        def body(local):
+            inc = jax.lax.associative_scan(
+                lambda u, v: fmul(df, u, v), local, axis=0)
+            totals = jax.lax.all_gather(inc[-1], AXIS)        # [D, 16]
+            pref = jax.lax.associative_scan(
+                lambda u, v: fmul(df, u, v), totals, axis=0)  # inclusive
+            idx = jax.lax.axis_index(AXIS)
+            one = jnp.broadcast_to(df.scalar(1), (1, NLIMBS))
+            excl = jax.lax.cond(
+                idx == 0,
+                lambda: one,
+                lambda: jax.lax.dynamic_slice_in_dim(pref, idx - 1, 1,
+                                                     axis=0))
+            return fmul(df, inc, jnp.broadcast_to(excl, inc.shape))
+
+        fn = jax.jit(body)
+        _JIT_CACHE[key] = fn
+    return fn(x)
+
+
+def sharded_batch_inv(df: DeviceField, mesh: Mesh,
+                      x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise field inversion of a row-sharded [n, 16] array: each
+    shard runs the two-scan batched-inversion trick locally (inverses
+    are value-unique, so shard-local grouping gives identical results to
+    a global batch inversion; zeros map to zero)."""
+    from ..fields.device import batch_inv
+
+    key = ("batch_inv", id(df), id(mesh))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+            check_vma=False,
+        )
+        def body(local):
+            return batch_inv(df, local, axis=0)
+
+        fn = jax.jit(body)
+        _JIT_CACHE[key] = fn
+    return fn(x)
+
+
+def sharded_msm_mont(cv: DeviceCurve, mesh: Mesh, scalars_mont: jnp.ndarray,
+                     pts: JPoint) -> JPoint:
+    """sharded_msm over Montgomery-form scalars: the mont->canonical
+    digit conversion runs inside the shard (elementwise)."""
+    out = _msm_body(cv, mesh, is_mont=True)(scalars_mont, pts)
+    return JPoint(out.x[0], out.y[0], out.z[0])

@@ -213,23 +213,45 @@ def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
     n = params.n
     blinding_factors = cs.blinding_factors()
 
-    key = (id(df), n)
-    fn = _LOOKUP_Z_JIT.get(key)
-    if fn is None:
-        def impl(pi, pt, ci, ct, b_m, g_m):
-            bb = jnp.broadcast_to(b_m, (n, NLIMBS))
-            gb = jnp.broadcast_to(g_m, (n, NLIMBS))
-            denom = fmul(df, fadd(df, bb, pi), fadd(df, gb, pt))
-            denom_inv = batch_inv(df, denom, axis=0)
-            product = fmul(df, denom_inv,
-                           fmul(df, fadd(df, ci, bb), fadd(df, ct, gb)))
-            incl = running_product(df, product, axis=0)
-            return jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
-        fn = jax.jit(impl)
-        _LOOKUP_Z_JIT[key] = fn
-    z = fn(permuted.permuted_input, permuted.permuted_table,
-           permuted.compressed_input, permuted.compressed_table,
-           df.scalar(beta), df.scalar(gamma))
+    from ..parallel import context as mesh_context
+    ctx = mesh_context.active()
+    if ctx is not None and n % (ctx.ndev * ctx.ndev) == 0:
+        # sharded grand product: elementwise fractions on row-sharded
+        # arrays, shard-local batched inversion, local scan + cross-
+        # shard exclusive prefix (values are exact => identical bytes)
+        from ..parallel.mesh import (sharded_batch_inv,
+                                     sharded_inclusive_product)
+        bb = jnp.broadcast_to(df.scalar(beta), (n, NLIMBS))
+        gb = jnp.broadcast_to(df.scalar(gamma), (n, NLIMBS))
+        pi = ctx.shard_rows(permuted.permuted_input)
+        pt_ = ctx.shard_rows(permuted.permuted_table)
+        ci = ctx.shard_rows(permuted.compressed_input)
+        ct = ctx.shard_rows(permuted.compressed_table)
+        denom = fmul(df, fadd(df, bb, pi), fadd(df, gb, pt_))
+        denom_inv = sharded_batch_inv(df, ctx.mesh, denom)
+        product = fmul(df, denom_inv,
+                       fmul(df, fadd(df, ci, bb), fadd(df, ct, gb)))
+        incl = sharded_inclusive_product(df, ctx.mesh, product)
+        z = jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
+    else:
+        key = (id(df), n)
+        fn = _LOOKUP_Z_JIT.get(key)
+        if fn is None:
+            def impl(pi, pt, ci, ct, b_m, g_m):
+                bb = jnp.broadcast_to(b_m, (n, NLIMBS))
+                gb = jnp.broadcast_to(g_m, (n, NLIMBS))
+                denom = fmul(df, fadd(df, bb, pi), fadd(df, gb, pt))
+                denom_inv = batch_inv(df, denom, axis=0)
+                product = fmul(df, denom_inv,
+                               fmul(df, fadd(df, ci, bb),
+                                    fadd(df, ct, gb)))
+                incl = running_product(df, product, axis=0)
+                return jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
+            fn = jax.jit(impl)
+            _LOOKUP_Z_JIT[key] = fn
+        z = fn(permuted.permuted_input, permuted.permuted_table,
+               permuted.compressed_input, permuted.compressed_table,
+               df.scalar(beta), df.scalar(gamma))
 
     import os
     if os.environ.get("HALO2_TPU_SANITY"):

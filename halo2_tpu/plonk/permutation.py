@@ -236,6 +236,33 @@ def _z_chunk(df: DeviceField, n: int, cl: int, values, sigmas,
     return fn(values, sigmas, beta_m, gamma_m, lastz_m, deltas_m, omega_pow)
 
 
+def _z_chunk_mesh(df, ctx, n, cl, values, sigmas, beta_m, gamma_m,
+                  lastz_m, deltas_m, omega_pow):
+    """Mesh-sharded z chunk: row-sharded fraction products, shard-local
+    batched inversion, sharded scan + cross-shard prefix. Field math is
+    exact => bit-identical to _z_chunk."""
+    from ..parallel.mesh import sharded_batch_inv, sharded_inclusive_product
+    g = jnp.broadcast_to(gamma_m, (n, NLIMBS))
+    b = jnp.broadcast_to(beta_m, (n, NLIMBS))
+    den = None
+    num = None
+    for j in range(cl):
+        vj = ctx.shard_rows(values[j])
+        sj = ctx.shard_rows(sigmas[j])
+        dj = fadd(df, vj, fadd(df, fmul(df, b, sj), g))
+        den = dj if den is None else fmul(df, den, dj)
+        nj = fadd(df, vj, fadd(
+            df, fmul(df, ctx.shard_rows(omega_pow),
+                     jnp.broadcast_to(deltas_m[j], (n, NLIMBS))), g))
+        num = nj if num is None else fmul(df, num, nj)
+    modified = fmul(df, sharded_batch_inv(df, ctx.mesh, den), num)
+    incl = sharded_inclusive_product(df, ctx.mesh, modified)
+    lz = jnp.broadcast_to(lastz_m, (n - 1, NLIMBS))
+    return jnp.concatenate([
+        jnp.broadcast_to(lastz_m, (1, NLIMBS)),
+        fmul(df, incl[:-1], lz)], axis=0)
+
+
 def permutation_commit(cs: ConstraintSystem, params, domain,
                        pkey: PermutationProvingKey,
                        advice, fixed, instance,
@@ -278,8 +305,15 @@ def permutation_commit(cs: ConstraintSystem, params, domain,
         global_col += cl
         deltas_m = jnp.asarray(np.asarray(df.to_mont_np(deltas))
                                .reshape(cl, NLIMBS))
-        z = _z_chunk(df, n, cl, vals, sigs, beta_m, gamma_m,
-                     df.scalar(last_z), deltas_m, omega_pow)
+        from ..parallel import context as mesh_context
+        ctx = mesh_context.active()
+        if ctx is not None and n % (ctx.ndev * ctx.ndev) == 0:
+            z = _z_chunk_mesh(df, ctx, n, cl, vals, sigs, beta_m,
+                              gamma_m, df.scalar(last_z), deltas_m,
+                              omega_pow)
+        else:
+            z = _z_chunk(df, n, cl, vals, sigs, beta_m, gamma_m,
+                         df.scalar(last_z), deltas_m, omega_pow)
 
         # blinding rows
         blinds = [fs.rand(rng) for _ in range(blinding_factors)]

@@ -163,6 +163,26 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     prof = _PhaseTimer()
     pk.vk.hash_into(transcript)
 
+    # ---- mesh mode: row-shard the pk's device arrays once so every
+    # elementwise phase (gate eval, h fold, vanishing division) runs
+    # SPMD over the mesh; commits/NTTs/scans take their sharded paths
+    # inside Params/EvaluationDomain/lookup/permutation ----
+    from ..parallel import context as mesh_context
+    _mesh = mesh_context.active()
+    _mshard = (lambda a: a) if _mesh is None else _mesh.shard_rows
+    if _mesh is not None and getattr(pk, "_mesh_ndev", None) != _mesh.ndev:
+        pk.fixed_values = [_mshard(a) for a in pk.fixed_values]
+        pk.fixed_polys = [_mshard(a) for a in pk.fixed_polys]
+        pk.fixed_cosets = [_mshard(a) for a in pk.fixed_cosets]
+        pk.l0 = _mshard(pk.l0)
+        pk.l_blind = _mshard(pk.l_blind)
+        pk.l_last = _mshard(pk.l_last)
+        pk.permutation.permutations = [
+            _mshard(a) for a in pk.permutation.permutations]
+        pk.permutation.polys = [_mshard(a) for a in pk.permutation.polys]
+        pk.permutation.cosets = [_mshard(a) for a in pk.permutation.cosets]
+        pk._mesh_ndev = _mesh.ndev
+
     # ---- instance commitments (common inputs) + polys + cosets ----
     instance_singles = []
     for inst in instances:
@@ -173,7 +193,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             if len(values) > n - (cs.blinding_factors() + 1):
                 raise ValueError("InstanceTooLarge")
             padded = list(values) + [0] * (n - len(values))
-            values_l.append(df.upload_values(padded))
+            values_l.append(_mshard(df.upload_values(padded)))
         commitments = params.commit_many(
             values_l, [DEFAULT_BLIND] * len(values_l), lagrange=True)
         polys_l, cosets_l = domain.lagrange_to_coeff_extended_many(values_l)
@@ -208,7 +228,7 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
             # blinding rows
             for row in range(unusable_rows_start, n):
                 ints[row] = fs.rand(rng)
-            advice_cols.append(df.upload_values(ints))
+            advice_cols.append(_mshard(df.upload_values(ints)))
         advice_blinds = [fs.rand(rng) for _ in advice_cols]
         prof.lap("advice: eval+pack")
         for pt in params.commit_many(advice_cols, advice_blinds,

@@ -23,10 +23,14 @@ from .polynomial import Rotation
 
 import os as _os
 
-# On TPU, NTTs at or above this size run through the Pallas limbs-first
-# butterfly kernel (ops/pallas_field.ntt_pallas); below it, or on CPU,
-# the fused-XLA path is used. Tunable for experiments.
-PALLAS_NTT_MIN = int(_os.environ.get("HALO2_TPU_PALLAS_NTT_MIN", "4096"))
+# Opt-in size threshold for the Pallas limbs-first butterfly kernel
+# (ops/pallas_field.ntt_pallas). Disabled by default: measured on the
+# attached v5e chip the Pallas path runs ~0.7M butterflies/s at k=20
+# vs ~46M for the fused-XLA butterflies (the kernel's HBM access
+# pattern defeats the DMA pipeline) — set HALO2_TPU_PALLAS_NTT_MIN to
+# a size to experiment.
+PALLAS_NTT_MIN = int(_os.environ.get("HALO2_TPU_PALLAS_NTT_MIN",
+                                     str(1 << 62)))
 
 
 def _use_pallas(n: int) -> bool:
@@ -199,6 +203,62 @@ class EvaluationDomain:
             cosets.append(self.df.upload_mont(ext))
         return polys, cosets
 
+    # ---------------- mesh-sharded transforms ----------------
+    def _mesh_ctx(self):
+        """Active ProverMesh when both domain sizes divide cleanly for
+        the four-step NTT (D^2 | n), else None."""
+        from ..parallel import context
+        ctx = context.active()
+        if (ctx is not None and ctx.divides(self.n)
+                and ctx.divides(self.extended_n)):
+            return ctx
+        return None
+
+    def _mesh_plans(self, ctx):
+        from ..parallel.mesh import ShardedNttPlan
+        cache = getattr(self, "_mesh_plan_cache", None)
+        if cache is None:
+            cache = self._mesh_plan_cache = {}
+        plans = cache.get(ctx.ndev)
+        if plans is None:
+            df = self.df
+            plans = {
+                "fwd": ShardedNttPlan(df, self.n, self.omega, ctx.ndev),
+                "inv": ShardedNttPlan(df, self.n, self.omega_inv,
+                                      ctx.ndev),
+                "ext": ShardedNttPlan(df, self.extended_n,
+                                      self.extended_omega, ctx.ndev),
+                "ext_inv": ShardedNttPlan(df, self.extended_n,
+                                          self.extended_omega_inv,
+                                          ctx.ndev),
+            }
+            cache[ctx.ndev] = plans
+        return plans
+
+    def _mesh_l2c(self, ctx, values: jnp.ndarray) -> jnp.ndarray:
+        from ..parallel.mesh import sharded_ntt
+        x = sharded_ntt(self.df, ctx.mesh, self._mesh_plans(ctx)["inv"],
+                        ctx.shard_rows(values))
+        return fmul(self.df, x,
+                    jnp.broadcast_to(self._ifft_divisor, x.shape))
+
+    def _mesh_c2e(self, ctx, coeffs: jnp.ndarray) -> jnp.ndarray:
+        from ..parallel.mesh import sharded_ntt
+        a = fmul(self.df, coeffs, self._coset_in)
+        pad = jnp.zeros((self.extended_n - self.n, NLIMBS), dtype=a.dtype)
+        padded = ctx.shard_rows(jnp.concatenate([a, pad], axis=0))
+        return sharded_ntt(self.df, ctx.mesh,
+                           self._mesh_plans(ctx)["ext"], padded)
+
+    def _mesh_e2c(self, ctx, values: jnp.ndarray) -> jnp.ndarray:
+        from ..parallel.mesh import sharded_ntt
+        x = sharded_ntt(self.df, ctx.mesh,
+                        self._mesh_plans(ctx)["ext_inv"],
+                        ctx.shard_rows(values))
+        x = fmul(self.df, x,
+                 jnp.broadcast_to(self._ext_ifft_divisor, x.shape))
+        return fmul(self.df, x, self._coset_out_ext)
+
     # ---------------- transforms (device) ----------------
     _BATCH_XFORM_JIT: dict = {}
 
@@ -211,6 +271,26 @@ class EvaluationDomain:
         m = len(values_list)
         if m == 0:
             return [], []
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            polys = [self._mesh_l2c(ctx, v) for v in values_list]
+            cosets = [self._mesh_c2e(ctx, p) for p in polys]
+            return polys, cosets
+        # Memory ceiling: the fused m-column transform materializes
+        # several [m, extended_n, 16] stage intermediates at once; at
+        # k=17 a 10-column phase asked for 20 GiB vs 16 GiB HBM. Chunk
+        # m so m * extended_n stays under the budget.
+        budget = int(_os.environ.get("HALO2_TPU_NTT_BATCH_BUDGET",
+                                     str(1 << 21)))
+        m_chunk = max(1, budget // self.extended_n)
+        if m > m_chunk:
+            polys, cosets = [], []
+            for i in range(0, m, m_chunk):
+                p, c = self.lagrange_to_coeff_extended_many(
+                    values_list[i:i + m_chunk])
+                polys.extend(p)
+                cosets.extend(c)
+            return polys, cosets
         if self._use_native(*values_list):
             from ..curves import native
             stacked = np.asarray(jnp.stack(values_list))  # one readback
@@ -253,6 +333,9 @@ class EvaluationDomain:
 
     def lagrange_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
         assert values.shape[0] == self.n
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            return self._mesh_l2c(ctx, values)
         if self._use_native(values):
             from ..curves import native
             col = np.ascontiguousarray(
@@ -264,6 +347,12 @@ class EvaluationDomain:
                     jnp.broadcast_to(self._ifft_divisor, x.shape))
 
     def coeff_to_lagrange(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            from ..parallel.mesh import sharded_ntt
+            return sharded_ntt(self.df, ctx.mesh,
+                               self._mesh_plans(ctx)["fwd"],
+                               ctx.shard_rows(coeffs))
         if self._use_native(coeffs):
             from ..curves import native
             col = np.ascontiguousarray(
@@ -274,6 +363,9 @@ class EvaluationDomain:
 
     def coeff_to_extended(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         assert coeffs.shape[0] == self.n
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            return self._mesh_c2e(ctx, coeffs)
         if self._use_native(coeffs):
             from ..curves import native
             col = np.ascontiguousarray(
@@ -289,6 +381,9 @@ class EvaluationDomain:
         """iFFT + un-coset; returns all extended_n coefficients (caller
         truncates to n * quotient_poly_degree, domain.rs:303-325)."""
         assert values.shape[0] == self.extended_n
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            return self._mesh_e2c(ctx, values)
         if self._use_native(values):
             from ..curves import native
             idx = self._native_idx()

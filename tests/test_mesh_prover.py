@@ -1,0 +1,149 @@
+"""Mesh-sharded prover: full create_proof on the virtual 8-device CPU
+mesh must produce byte-identical transcripts to the single-device prover
+(the bit-exactness contract of SURVEY.md §5.8: field/group math is exact,
+so sharded kernels — all_gather-reduced MSMs, four-step all_to_all NTTs,
+cross-shard prefix scans — cannot change the proof)."""
+import random
+
+import jax
+import pytest
+
+from halo2_tpu.curves import PALLAS
+from halo2_tpu.transcript import TranscriptRead, TranscriptWrite
+from halo2_tpu.poly import Params
+from halo2_tpu.poly.polynomial import Rotation
+from halo2_tpu.circuit import Circuit, Value
+from halo2_tpu.parallel import ProverMesh, make_mesh
+from halo2_tpu.plonk import (keygen_vk, keygen_pk, create_proof,
+                             verify_proof, SingleVerifier)
+
+K = 10  # n = 1024; 8 devices => D^2 = 64 | n and | extended_n
+NDEV = 8
+FS = PALLAS.scalar
+
+
+class MulChainCircuit(Circuit):
+    """Gate + permutation circuit with enough rows to be worth sharding:
+    a chain out_i = a_i * b_i with copies between consecutive regions."""
+
+    def __init__(self, a=None, rows=24):
+        self.a = a
+        self.rows = rows
+
+    def without_witnesses(self):
+        return MulChainCircuit(None, self.rows)
+
+    @classmethod
+    def configure(cls, meta):
+        col_a = meta.advice_column()
+        col_b = meta.advice_column()
+        instance = meta.instance_column()
+        s_mul = meta.selector()
+        meta.enable_equality(col_a)
+        meta.enable_equality(instance)
+
+        def gate(cells):
+            a = cells.query_advice(col_a, Rotation(0))
+            b = cells.query_advice(col_b, Rotation(0))
+            out = cells.query_advice(col_a, Rotation(1))
+            s = cells.query_selector(s_mul)
+            return [("mul", s * (a * b - out))]
+
+        meta.create_gate("mul", gate)
+        return {"a": col_a, "b": col_b, "instance": instance,
+                "s_mul": s_mul}
+
+    def synthesize(self, config, layouter):
+        out = None
+        cur = self.a
+        for i in range(self.rows):
+            def region_fn(region, cur=cur, prev=out):
+                region.enable_selector("s", config["s_mul"], 0)
+                cell_a = region.assign_advice(
+                    "a", config["a"], 0,
+                    lambda: Value.known(cur) if cur is not None
+                    else Value.unknown())
+                if prev is not None:
+                    region.constrain_equal(cell_a.cell, prev.cell)
+                region.assign_advice("b", config["b"], 0,
+                                     lambda: Value.known(3))
+                nxt = (FS.mul(cur, 3) if cur is not None else None)
+                return region.assign_advice(
+                    "out", config["a"], 1,
+                    lambda v=nxt: Value.known(v) if v is not None
+                    else Value.unknown())
+            out = layouter.assign_region("mul", region_fn)
+            if cur is not None:
+                cur = FS.mul(cur, 3)
+        layouter.constrain_instance(out.cell, config["instance"], 0)
+
+    def expected_out(self):
+        v = self.a
+        for _ in range(self.rows):
+            v = FS.mul(v, 3)
+        return v
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < NDEV:
+        pytest.skip(f"needs {NDEV} virtual devices")
+    params = Params.new(PALLAS, K, use_cache=False)
+    circuit = MulChainCircuit(5)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, vk, circuit)
+    return params, vk, pk, circuit
+
+
+def _prove(params, pk, circuit, instances, seed=77):
+    tw = TranscriptWrite(PALLAS)
+    create_proof(params, pk, [circuit], [instances], random.Random(seed),
+                 tw)
+    return tw.finalize()
+
+
+def test_mesh_prove_transcript_parity(setup):
+    params, vk, pk, circuit = setup
+    inst = [[circuit.expected_out()]]
+
+    baseline = _prove(params, pk, circuit, inst)
+
+    with ProverMesh(make_mesh(NDEV)):
+        sharded = _prove(params, pk, circuit, inst)
+
+    assert sharded == baseline, \
+        "mesh-sharded prover diverged from single-device transcript"
+    tr = TranscriptRead(PALLAS, sharded)
+    verify_proof(params, vk, SingleVerifier(params), [inst], tr)
+
+
+def test_mesh_kernels_match_single_device(setup):
+    """Direct kernel-level parity on real prover-sized data: sharded
+    NTT/iNTT round-trip and sharded commit vs the plain paths."""
+    import numpy as np
+    params, vk, pk, circuit = setup
+    domain = vk.domain
+    df = params.scalar_df
+    rng = random.Random(3)
+    vals = [rng.randrange(FS.modulus) for _ in range(params.n)]
+    x = df.upload_values(vals)
+
+    plain_coeff = np.asarray(domain.lagrange_to_coeff(x))
+    plain_ext = np.asarray(domain.coeff_to_extended(
+        domain.lagrange_to_coeff(x)))
+    plain_commit = params.commit_lagrange(x, 123)
+
+    with ProverMesh(make_mesh(NDEV)):
+        mesh_coeff = np.asarray(domain.lagrange_to_coeff(x))
+        mesh_ext = np.asarray(domain.coeff_to_extended(
+            domain.lagrange_to_coeff(x)))
+        mesh_back = np.asarray(domain.extended_to_coeff(
+            jax.numpy.asarray(mesh_ext)))
+        mesh_commit = params.commit_lagrange(x, 123)
+
+    assert np.array_equal(mesh_coeff, plain_coeff)
+    assert np.array_equal(mesh_ext, plain_ext)
+    plain_back = np.asarray(domain.extended_to_coeff(
+        jax.numpy.asarray(plain_ext)))
+    assert np.array_equal(mesh_back, plain_back)
+    assert mesh_commit == plain_commit
