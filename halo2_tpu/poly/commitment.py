@@ -190,10 +190,47 @@ class Params:
         return cls(curve, k, g, g_lagrange, w, u)
 
     # ----------------- commitments -----------------
+    def _mesh_ctx(self):
+        """Active ProverMesh when n shards evenly, else None."""
+        from ..parallel import context
+        ctx = context.active()
+        if ctx is not None and self.n % ctx.ndev == 0:
+            return ctx
+        return None
+
+    def _mesh_commit(self, ctx, values_mont: jnp.ndarray, blind: int,
+                     bases: JPoint) -> Point:
+        """Commit over the mesh: Montgomery scalars + SRS bases row-
+        sharded along n, per-shard Pippenger, all_gather group-add
+        reduction (parallel/mesh.py); the [blind]w term is added on the
+        host (group ops are exact — identical bytes to the single-device
+        commit)."""
+        from ..parallel.mesh import sharded_msm_mont
+        cache = getattr(self, "_mesh_bases_cache", None)
+        if cache is None:
+            cache = self._mesh_bases_cache = {}
+        key = (id(bases.x), ctx.ndev)
+        sharded_bases = cache.get(key)
+        if sharded_bases is None:
+            sharded_bases = JPoint(ctx.shard_rows(bases.x),
+                                   ctx.shard_rows(bases.y),
+                                   ctx.shard_rows(bases.z))
+            cache[key] = sharded_bases
+        res = sharded_msm_mont(self.dev, ctx.mesh,
+                               ctx.shard_rows(values_mont), sharded_bases)
+        pt = self.dev.points_from_device(normalize(self.dev, res))[0]
+        b = blind % self.curve.scalar.modulus
+        if b:
+            pt = self.curve.add(pt, self.curve.mul(self.w, b))
+        return pt
+
     def _commit_inner(self, values_mont: jnp.ndarray, blind: int,
                       bases: JPoint, host_bases: list) -> Point:
         fs = self.curve.scalar
         from ..ops.msm import HOST_MSM_THRESHOLD, _is_concrete
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            return self._mesh_commit(ctx, values_mont, blind, bases)
         if _is_concrete(values_mont) and self.n + 1 <= HOST_MSM_THRESHOLD:
             # fully host: no device round-trips for small concrete
             # commits (the dominant keygen cost on CPU backends)
@@ -307,6 +344,11 @@ class Params:
         m = len(polys_mont)
         if m == 0:
             return []
+        ctx = self._mesh_ctx()
+        if ctx is not None:
+            bases = self.g_lagrange_dev if lagrange else self.g_dev
+            return [self._mesh_commit(ctx, v, b, bases)
+                    for v, b in zip(polys_mont, blinds)]
         if m == 1:
             bases = self.g_lagrange_dev if lagrange else self.g_dev
             host = self.g_lagrange if lagrange else self.g
@@ -322,6 +364,23 @@ class Params:
                                        self.g_lagrange if lagrange
                                        else self.g)
                     for v, b in zip(polys_mont, blinds)]
+        # Memory ceiling: the batched Pippenger gathers a sorted point
+        # copy per (column, window) row — m*W*n*48 u32 live at once. At
+        # k=17 with a whole phase's columns that exceeds HBM (observed
+        # 32 GiB ask vs 16 GiB), so split m into chunks bounded by
+        # G*n <= budget elements (default 2^24 ~= 3.2 GiB of gathers).
+        budget = int(os.environ.get("HALO2_TPU_COMMIT_GN_BUDGET",
+                                    str(1 << 23)))
+        from ..ops import msm_pallas as mp_chunk
+        w_cnt = -(-256 // mp_chunk.pick_c(self.n))
+        m_chunk = max(1, (budget // self.n) // w_cnt)
+        if m > m_chunk:
+            out = []
+            for i in range(0, m, m_chunk):
+                out.extend(self.commit_many(polys_mont[i:i + m_chunk],
+                                            blinds[i:i + m_chunk],
+                                            lagrange))
+            return out
         import jax
         from ..ops import msm_pallas as mp
         from ..ops.pallas_point import _interpret_default
@@ -562,25 +621,41 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     native_threshold = int(os.environ.get(
         "HALO2_TPU_NATIVE_IPA_THRESHOLD", str(1 << 18)))
     sess = None
+    gproj = None  # [48, l] Pallas projective G' (device-tail rounds)
     cur = params.curve
     for j in range(k):
         half = 1 << (k - j - 1)
         if (sess is None and half <= native_threshold
                 and not os.environ.get("HALO2_TPU_NO_NATIVE")):
+            if gproj is not None:
+                # device rounds ran first: hand the current G' to the
+                # native session as a Jacobian batch (X·Z, Y·Z², Z)
+                bf = dev.base
+                X, Y, Z = gproj[:16].T, gproj[16:32].T, gproj[32:48].T
+                z2 = fmul(bf, Z, Z)
+                g_prime = JPoint(fmul(bf, X, Z), fmul(bf, Y, z2), Z)
+                gproj = None
             sess = _start_native_ipa(params, p_prime, b, g_prime,
                                      g_is_srs=(j == 0))
         if sess is not None:
             l_pt, r_pt, value_l, value_r = sess.round()
         else:
-            l_j = msm_mont(dev, p_prime[half:], _slice_pts(g_prime, 0, half))
-            r_j = msm_mont(dev, p_prime[:half],
-                           _slice_pts(g_prime, half, 2 * half))
-            value_l = int(df.from_mont_np(np.asarray(
-                inner_product(df, p_prime[half:], b[:half]))))
-            value_r = int(df.from_mont_np(np.asarray(
-                inner_product(df, p_prime[:half], b[half:]))))
-            l_pt = dev.points_from_device(normalize(dev, l_j))[0]
-            r_pt = dev.points_from_device(normalize(dev, r_j))[0]
+            # device tail: fused Pallas L/R + inner products, then a
+            # GLV-ladder G' collapse at fold time (ops/ipa_device.py)
+            from ..ops.ipa_device import ipa_round_lr
+            if gproj is None:
+                gproj = getattr(params, "_g_proj", None)
+                if gproj is None or gproj.shape[1] != 2 * half:
+                    if j == 0:
+                        from ..ops.msm import _jpoint_to_proj
+                        gproj = _jpoint_to_proj(dev, params.g_dev)
+                        if gproj.shape[1] == n:
+                            params._g_proj = gproj
+                    else:
+                        from ..ops.msm import _jpoint_to_proj
+                        gproj = _jpoint_to_proj(dev, g_prime)
+            l_pt, r_pt, value_l, value_r = ipa_round_lr(
+                params, p_prime, b, gproj, half)
         l_rand = fs.rand(rng)
         r_rand = fs.rand(rng)
         # L_j += [v_l z] U + [l_rand] W  (host: 2-term multiexp)
@@ -598,31 +673,10 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         if sess is not None:
             sess.fold(u_j, u_j_inv)
         else:
-            uj_m = df.scalar(u_j)
-            ujinv_m = df.scalar(u_j_inv)
-            p_prime = fadd(df, p_prime[:half],
-                           fmul(df, p_prime[half:],
-                                jnp.broadcast_to(ujinv_m, (half, NLIMBS))))
-            b = fadd(df, b[:half],
-                     fmul(df, b[half:], jnp.broadcast_to(uj_m, (half, NLIMBS))))
-            # G' collapse: g_lo + [u_j] g_hi (prover.rs:154-166)
-            from ..ops.msm import HOST_MSM_THRESHOLD
-            if half <= HOST_MSM_THRESHOLD:
-                # exact-host oracle path (native unavailable / disabled)
-                lo = dev.points_from_device(_slice_pts(g_prime, 0, half))
-                hi = dev.points_from_device(
-                    _slice_pts(g_prime, half, 2 * half))
-                jac = [cur._jmixed(cur._jmul(h, u_j), l) if l is not None
-                       else cur._jmul(h, u_j)
-                       for l, h in zip(lo, hi)]
-                g_prime = dev.points_to_device(cur._jbatch_normalize(jac))
-            else:
-                dig = jnp.broadcast_to(jnp.asarray(_digits16_np(u_j))[None],
-                                       (half, 16))
-                hi_mul = batch_scalar_mul(dev,
-                                          _slice_pts(g_prime, half, 2 * half),
-                                          dig, nbits=255)
-                g_prime = padd(dev, _slice_pts(g_prime, 0, half), hi_mul)
+            from ..ops.ipa_device import ipa_fold
+            p_prime, b, gproj = ipa_fold(
+                params, p_prime, b,
+                gproj if j < k - 1 else None, half, u_j, u_j_inv)
 
         f = (f + l_rand * u_j_inv + r_rand * u_j) % fs.modulus
 
