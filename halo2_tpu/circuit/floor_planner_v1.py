@@ -88,14 +88,25 @@ def first_fit_region(column_allocations: dict, region_columns: list,
 
 def slot_in_biggest_advice_first(region_shapes: list[RegionShape]
                                  ) -> tuple[list[int], dict]:
-    """strategy.rs:196-242."""
+    """strategy.rs:196-242. HALO2_TPU_LEGACY_PDQSORT=1 selects the
+    `floor-planner-v1-legacy-pdqsort` compatibility mode: region order
+    for equal advice areas follows the Rust 1.56.1 unstable sort
+    (strategy.rs:222-230) instead of the stable sort — layout is
+    vk-affecting, so legacy circuits need the legacy order."""
+    import os
+
     def sort_key(shape: RegionShape) -> int:
         advice_cols = sum(
             1 for c in shape.columns
             if isinstance(c, Column) and c.column_type == ADVICE)
         return advice_cols * shape.row_count
 
-    sorted_regions = sorted(region_shapes, key=sort_key)  # stable asc
+    if os.environ.get("HALO2_TPU_LEGACY_PDQSORT"):
+        from .legacy_pdqsort import quicksort
+        sorted_regions = list(region_shapes)
+        quicksort(sorted_regions, lambda a, b: sort_key(a) < sort_key(b))
+    else:
+        sorted_regions = sorted(region_shapes, key=sort_key)  # stable asc
     sorted_regions.reverse()
 
     column_allocations: dict = {}
