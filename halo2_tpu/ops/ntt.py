@@ -75,11 +75,22 @@ _PLAN_DEV: dict = {}      # id(plan) -> (plan, perm_dev, tuple(tw_dev))
 
 def _plan_dev(plan: NttPlan):
     """Device-resident copies of a plan's perm + twiddles, uploaded once
-    (the eager path re-uploaded every stage of every call)."""
+    (the eager path re-uploaded every stage of every call).
+
+    Never caches under an active trace: inside shard_map/jit tracing,
+    jnp.asarray of a host constant yields a TRACER, and caching it
+    leaks it into later traces (UnexpectedTracerError after a
+    jax.clear_caches() forces a re-trace)."""
+    import jax.core
     ent = _PLAN_DEV.get(id(plan))
-    if ent is None or ent[0] is not plan:
-        ent = (plan, jnp.asarray(plan.perm),
-               tuple(jnp.asarray(t) for t in plan.twiddles))
+    if (ent is None or ent[0] is not plan
+            or isinstance(ent[1], jax.core.Tracer)):
+        perm = jnp.asarray(plan.perm)
+        tws = tuple(jnp.asarray(t) for t in plan.twiddles)
+        if isinstance(perm, jax.core.Tracer) or any(
+                isinstance(t, jax.core.Tracer) for t in tws):
+            return perm, tws  # tracing: use, don't cache
+        ent = (plan, perm, tws)
         _PLAN_DEV[id(plan)] = ent
     return ent[1], ent[2]
 

@@ -611,15 +611,24 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
     g_prime = JPoint(params.g_dev.x, params.g_dev.y, params.g_dev.z)
 
     prof.lap("ipa P' setup")
-    # At or below this size the remaining rounds run entirely in the
-    # native host library — one device→host state handoff, then only
-    # transcript scalars cross the boundary per round. The GLV-folded
-    # native tail beats the device path at every bench size (the
-    # device G' collapse at k=16 cost 40 s/round vs ~0.8 s native), so
-    # the default keeps the whole tail native; lower it to push the
-    # big L/R MSM rounds onto the accelerator.
+    # At or below this size the remaining rounds run in the native host
+    # library — one device→host state handoff, then only transcript
+    # scalars cross the boundary per round. Accelerator default is a
+    # HYBRID at 8192: the big L/R rounds (the bulk of the MSM work) run
+    # on the GLV-ladder Pallas tail (ops/ipa_device.py — measured
+    # 0.15 s/round at k=16 vs 0.19 s/round native), while the small
+    # tail stays native, avoiding ~2 per-round executable loads on the
+    # tunneled runtime (10-30 s each per fresh process) where dispatch
+    # latency would dominate anyway. Set 0 for all-device, large for
+    # all-native. Off-accelerator (CPU interpret mode) stays native.
+    import jax as _jax
+    try:
+        _on_accel = _jax.default_backend() in ("tpu", "axon", "gpu")
+    except Exception:
+        _on_accel = False
     native_threshold = int(os.environ.get(
-        "HALO2_TPU_NATIVE_IPA_THRESHOLD", str(1 << 18)))
+        "HALO2_TPU_NATIVE_IPA_THRESHOLD",
+        "8192" if _on_accel else str(1 << 18)))
     sess = None
     gproj = None  # [48, l] Pallas projective G' (device-tail rounds)
     cur = params.curve

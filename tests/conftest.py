@@ -41,7 +41,9 @@ import pytest  # noqa: E402
 
 _HEAVY_PREFIXES = ("test_gadget_vk_parity", "test_merkle_parity",
                    "test_plonk_api_parity", "test_golden",
-                   "test_sinsemilla", "test_sha256")
+                   "test_sinsemilla", "test_sha256", "test_mesh_prover",
+                   "test_ipa_device", "test_parallel", "test_msm_pallas",
+                   "test_table16", "test_batch_synthesis")
 
 
 @pytest.fixture(autouse=True)

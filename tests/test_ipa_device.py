@@ -61,5 +61,11 @@ def test_device_ipa_matches_native_tail(monkeypatch):
     device = prove()
     assert device == native
 
+    # hybrid (the accelerator default shape): big rounds device, then a
+    # mid-stream handoff of the collapsed G' to the native session
+    monkeypatch.setenv("HALO2_TPU_NATIVE_IPA_THRESHOLD", "8")
+    hybrid = prove()
+    assert hybrid == native
+
     tr = TranscriptRead(PALLAS, device)
     verify_proof(params, vk, SingleVerifier(params), [[[out]]], tr)
