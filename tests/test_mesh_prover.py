@@ -117,6 +117,37 @@ def test_mesh_prove_transcript_parity(setup):
     verify_proof(params, vk, SingleVerifier(params), [inst], tr)
 
 
+def test_mesh_prove_lookup_circuit_parity():
+    """Sharded lookup path (permuted-pair z over the mesh) + multi-chunk
+    permutation: the plonk_api circuit at k=10, transcript parity."""
+    import random as _random
+    from halo2_tpu.curves import VESTA
+    from tests.test_plonk_api_parity import PlonkApiCircuit
+    from halo2_tpu.fields import FP
+
+    if len(jax.devices()) < NDEV:
+        pytest.skip(f"needs {NDEV} virtual devices")
+    params = Params.new(VESTA, K, use_cache=False)
+    a = 2834758237 * FP.zeta % FP.modulus
+    instance = 2
+    circuit = PlonkApiCircuit(a, [instance, a, a, 0])
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, vk, circuit)
+
+    def prove():
+        tw = TranscriptWrite(VESTA)
+        create_proof(params, pk, [circuit], [[[instance]]],
+                     _random.Random(31), tw)
+        return tw.finalize()
+
+    baseline = prove()
+    with ProverMesh(make_mesh(NDEV)):
+        sharded = prove()
+    assert sharded == baseline
+    tr = TranscriptRead(VESTA, sharded)
+    verify_proof(params, vk, SingleVerifier(params), [[[instance]]], tr)
+
+
 def test_mesh_kernels_match_single_device(setup):
     """Direct kernel-level parity on real prover-sized data: sharded
     NTT/iNTT round-trip and sharded commit vs the plain paths."""
