@@ -138,9 +138,10 @@ def worker(k: int) -> None:
 
     # measured CPU baseline: this box's native OpenMP MSM at the same k
     cpu_pts_per_s = _native_msm_baseline(k)
-    # point-adds/s from Pippenger op count: ~n adds/window * 33 windows
-    # over n points => ~33 adds/point at c=8
-    adds_per_point = (256 // 8 + 1)
+    # point-adds/s from the Pippenger op count at the window size the
+    # measured kernel actually used: ~n adds per window
+    windows = -(-256 // c)
+    adds_per_point = windows + 1
     msm_modmuls = points_per_s * adds_per_point * RCB_MULS_PER_ADD
 
     out = {
@@ -176,7 +177,7 @@ def worker(k: int) -> None:
             np.asarray(y[:1])                        # full readback sync
             ndt = time.perf_counter() - t0
             bfs = (m // 2) * ntt_k / ndt
-            ntt_base = _native_ntt_baseline(min(ntt_k, 20))
+            ntt_base = _native_ntt_baseline(ntt_k)
             out["extras"].append({
                 "metric": f"ntt_k{ntt_k}_butterflies_per_s",
                 "value": round(bfs, 2),

@@ -195,8 +195,8 @@ def permute_expression_pair(cs: ConstraintSystem, params, rng,
 def native_rand_limbs(fs, rng, count: int) -> np.ndarray:
     """(count, 4) u64 canonical limbs of fs.rand draws (RNG call order
     matches the reference's per-element sampling)."""
-    buf = b"".join(fs.rand(rng).to_bytes(32, "little") for _ in range(count))
-    return np.frombuffer(buf, np.uint64).reshape(count, 4)
+    from ..curves.native import ints_to_limbs
+    return ints_to_limbs([fs.rand(rng) for _ in range(count)])
 
 
 _LOOKUP_Z_JIT: dict = {}
@@ -216,23 +216,34 @@ def lookup_commit_product(permuted: Permuted, cs: ConstraintSystem, params,
     from ..parallel import context as mesh_context
     ctx = mesh_context.active()
     if ctx is not None and n % (ctx.ndev * ctx.ndev) == 0:
-        # sharded grand product: elementwise fractions on row-sharded
-        # arrays, shard-local batched inversion, local scan + cross-
-        # shard exclusive prefix (values are exact => identical bytes)
+        # sharded grand product, fused into ONE jitted program:
+        # elementwise fractions on row-sharded arrays, shard-local
+        # batched inversion, local scan + cross-shard exclusive prefix
+        # (values are exact => identical bytes)
         from ..parallel.mesh import (sharded_batch_inv,
                                      sharded_inclusive_product)
-        bb = jnp.broadcast_to(df.scalar(beta), (n, NLIMBS))
-        gb = jnp.broadcast_to(df.scalar(gamma), (n, NLIMBS))
-        pi = ctx.shard_rows(permuted.permuted_input)
-        pt_ = ctx.shard_rows(permuted.permuted_table)
-        ci = ctx.shard_rows(permuted.compressed_input)
-        ct = ctx.shard_rows(permuted.compressed_table)
-        denom = fmul(df, fadd(df, bb, pi), fadd(df, gb, pt_))
-        denom_inv = sharded_batch_inv(df, ctx.mesh, denom)
-        product = fmul(df, denom_inv,
-                       fmul(df, fadd(df, ci, bb), fadd(df, ct, gb)))
-        incl = sharded_inclusive_product(df, ctx.mesh, product)
-        z = jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
+        key = ("mesh", id(df), id(ctx.mesh), n)
+        fn = _LOOKUP_Z_JIT.get(key)
+        if fn is None:
+            mesh = ctx.mesh
+
+            def impl_mesh(pi, pt, ci, ct, b_m, g_m):
+                bb = jnp.broadcast_to(b_m, (n, NLIMBS))
+                gb = jnp.broadcast_to(g_m, (n, NLIMBS))
+                denom = fmul(df, fadd(df, bb, pi), fadd(df, gb, pt))
+                denom_inv = sharded_batch_inv(df, mesh, denom)
+                product = fmul(df, denom_inv,
+                               fmul(df, fadd(df, ci, bb),
+                                    fadd(df, ct, gb)))
+                incl = sharded_inclusive_product(df, mesh, product)
+                return jnp.concatenate([df.ones((1,)), incl[:-1]], axis=0)
+            fn = jax.jit(impl_mesh)
+            _LOOKUP_Z_JIT[key] = fn
+        z = fn(ctx.shard_rows(permuted.permuted_input),
+               ctx.shard_rows(permuted.permuted_table),
+               ctx.shard_rows(permuted.compressed_input),
+               ctx.shard_rows(permuted.compressed_table),
+               df.scalar(beta), df.scalar(gamma))
     else:
         key = (id(df), n)
         fn = _LOOKUP_Z_JIT.get(key)

@@ -238,29 +238,40 @@ def _z_chunk(df: DeviceField, n: int, cl: int, values, sigmas,
 
 def _z_chunk_mesh(df, ctx, n, cl, values, sigmas, beta_m, gamma_m,
                   lastz_m, deltas_m, omega_pow):
-    """Mesh-sharded z chunk: row-sharded fraction products, shard-local
-    batched inversion, sharded scan + cross-shard prefix. Field math is
-    exact => bit-identical to _z_chunk."""
+    """Mesh-sharded z chunk as ONE jitted program: row-sharded fraction
+    products, shard-local batched inversion, sharded scan + cross-shard
+    prefix. Field math is exact => bit-identical to _z_chunk."""
     from ..parallel.mesh import sharded_batch_inv, sharded_inclusive_product
-    g = jnp.broadcast_to(gamma_m, (n, NLIMBS))
-    b = jnp.broadcast_to(beta_m, (n, NLIMBS))
-    den = None
-    num = None
-    for j in range(cl):
-        vj = ctx.shard_rows(values[j])
-        sj = ctx.shard_rows(sigmas[j])
-        dj = fadd(df, vj, fadd(df, fmul(df, b, sj), g))
-        den = dj if den is None else fmul(df, den, dj)
-        nj = fadd(df, vj, fadd(
-            df, fmul(df, ctx.shard_rows(omega_pow),
-                     jnp.broadcast_to(deltas_m[j], (n, NLIMBS))), g))
-        num = nj if num is None else fmul(df, num, nj)
-    modified = fmul(df, sharded_batch_inv(df, ctx.mesh, den), num)
-    incl = sharded_inclusive_product(df, ctx.mesh, modified)
-    lz = jnp.broadcast_to(lastz_m, (n - 1, NLIMBS))
-    return jnp.concatenate([
-        jnp.broadcast_to(lastz_m, (1, NLIMBS)),
-        fmul(df, incl[:-1], lz)], axis=0)
+    key = ("mesh", id(df), id(ctx.mesh), n, cl)
+    fn = _Z_CHUNK_JIT.get(key)
+    if fn is None:
+        mesh = ctx.mesh
+
+        def impl(vals, sigs, b_m, g_m, lz_m, d_m, om):
+            g = jnp.broadcast_to(g_m, (n, NLIMBS))
+            b = jnp.broadcast_to(b_m, (n, NLIMBS))
+            den = None
+            num = None
+            for j in range(cl):
+                dj = fadd(df, vals[j], fadd(df, fmul(df, b, sigs[j]), g))
+                den = dj if den is None else fmul(df, den, dj)
+                nj = fadd(df, vals[j], fadd(
+                    df, fmul(df, om,
+                             jnp.broadcast_to(d_m[j], (n, NLIMBS))), g))
+                num = nj if num is None else fmul(df, num, nj)
+            modified = fmul(df, sharded_batch_inv(df, mesh, den), num)
+            incl = sharded_inclusive_product(df, mesh, modified)
+            lz = jnp.broadcast_to(lz_m, (n - 1, NLIMBS))
+            return jnp.concatenate([
+                jnp.broadcast_to(lz_m, (1, NLIMBS)),
+                fmul(df, incl[:-1], lz)], axis=0)
+        import jax
+        fn = jax.jit(impl)
+        _Z_CHUNK_JIT[key] = fn
+    # values/sigmas arrive as [cl, n, 16] stacks; the shard_map
+    # in_specs inside reshard rows as needed
+    return fn(values, sigmas, beta_m, gamma_m, lastz_m, deltas_m,
+              ctx.shard_rows(omega_pow))
 
 
 def permutation_commit(cs: ConstraintSystem, params, domain,

@@ -160,6 +160,9 @@ class Params:
     @classmethod
     def read(cls, curve: CurveSpec, data: bytes) -> "Params":
         k = int.from_bytes(data[:4], "little")
+        if k >= 32:  # commitment.rs:41 asserts k < 32; also guards a
+            # corrupted header from driving `1 << k` to absurd sizes
+            raise ValueError(f"SRS k={k} out of range (k < 32)")
         n = 1 << k
         if len(data) < 4 + 32 * (2 * n + 2):
             raise ValueError(
@@ -198,14 +201,7 @@ class Params:
             return ctx
         return None
 
-    def _mesh_commit(self, ctx, values_mont: jnp.ndarray, blind: int,
-                     bases: JPoint) -> Point:
-        """Commit over the mesh: Montgomery scalars + SRS bases row-
-        sharded along n, per-shard Pippenger, all_gather group-add
-        reduction (parallel/mesh.py); the [blind]w term is added on the
-        host (group ops are exact — identical bytes to the single-device
-        commit)."""
-        from ..parallel.mesh import sharded_msm_mont
+    def _mesh_bases(self, ctx, bases: JPoint) -> JPoint:
         cache = getattr(self, "_mesh_bases_cache", None)
         if cache is None:
             cache = self._mesh_bases_cache = {}
@@ -216,13 +212,35 @@ class Params:
                                    ctx.shard_rows(bases.y),
                                    ctx.shard_rows(bases.z))
             cache[key] = sharded_bases
-        res = sharded_msm_mont(self.dev, ctx.mesh,
-                               ctx.shard_rows(values_mont), sharded_bases)
-        pt = self.dev.points_from_device(normalize(self.dev, res))[0]
-        b = blind % self.curve.scalar.modulus
-        if b:
-            pt = self.curve.add(pt, self.curve.mul(self.w, b))
-        return pt
+        return sharded_bases
+
+    def _mesh_commit_many(self, ctx, polys_mont: list, blinds: list[int],
+                          bases: JPoint) -> list[Point]:
+        """Commit m polys over the mesh: Montgomery scalars + SRS bases
+        row-sharded along n, per-shard Pippenger, all_gather group-add
+        reduction (parallel/mesh.py). All m sharded MSMs are ENQUEUED
+        back-to-back and the totals read back in one batched
+        normalize+transfer (per-poly sync would pay m tunnel round
+        trips); the [blind]w terms are added on the host. Group ops are
+        exact — identical bytes to the single-device commits."""
+        from ..parallel.mesh import sharded_msm_mont
+        sharded_bases = self._mesh_bases(ctx, bases)
+        raws = [sharded_msm_mont(self.dev, ctx.mesh,
+                                 ctx.shard_rows(v), sharded_bases)
+                for v in polys_mont]  # async enqueue, no readback
+        stacked = JPoint(jnp.stack([r.x for r in raws]),
+                         jnp.stack([r.y for r in raws]),
+                         jnp.stack([r.z for r in raws]))
+        pts = self.dev.points_from_device(normalize(self.dev, stacked))
+        q = self.curve.scalar.modulus
+        return [self.curve.add(pt, self.curve.mul(self.w, b % q))
+                if b % q else pt
+                for pt, b in zip(pts, blinds)]
+
+    def _mesh_commit(self, ctx, values_mont: jnp.ndarray, blind: int,
+                     bases: JPoint) -> Point:
+        return self._mesh_commit_many(ctx, [values_mont], [blind],
+                                      bases)[0]
 
     def _commit_inner(self, values_mont: jnp.ndarray, blind: int,
                       bases: JPoint, host_bases: list) -> Point:
@@ -347,8 +365,7 @@ class Params:
         ctx = self._mesh_ctx()
         if ctx is not None:
             bases = self.g_lagrange_dev if lagrange else self.g_dev
-            return [self._mesh_commit(ctx, v, b, bases)
-                    for v, b in zip(polys_mont, blinds)]
+            return self._mesh_commit_many(ctx, polys_mont, blinds, bases)
         if m == 1:
             bases = self.g_lagrange_dev if lagrange else self.g_dev
             host = self.g_lagrange if lagrange else self.g
@@ -368,7 +385,8 @@ class Params:
         # copy per (column, window) row — m*W*n*48 u32 live at once. At
         # k=17 with a whole phase's columns that exceeds HBM (observed
         # 32 GiB ask vs 16 GiB), so split m into chunks bounded by
-        # G*n <= budget elements (default 2^24 ~= 3.2 GiB of gathers).
+        # G*n <= budget elements (default 2^23 ~= 1.6 GiB of gathers —
+        # k=17 proofs also hold several GiB of resident cosets).
         budget = int(os.environ.get("HALO2_TPU_COMMIT_GN_BUDGET",
                                     str(1 << 23)))
         from ..ops import msm_pallas as mp_chunk

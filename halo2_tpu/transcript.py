@@ -131,12 +131,14 @@ class TranscriptRead(_TranscriptBase):
 # P128Pow5T3 spec (width 3, rate 2, x^5). Scalars are absorbed
 # directly; point coordinates (base field) are absorbed reduced mod the
 # scalar modulus (the standard native-transcript embedding). Each
-# squeeze absorbs a domain tag, drains the pending buffer in rate-sized
+# squeeze adds a domain tag to the CAPACITY element (outside the
+# rate-absorbed data stream, so data absorbs and squeeze boundaries
+# are injectively separated), drains the pending buffer in rate-sized
 # chunks through the permutation, and emits state[0] — consecutive
 # squeezes stay distinct and every absorbed element gates every later
 # challenge, mirroring the Blake2b ratchet structure.
 
-_POSEIDON_CHALLENGE_TAG = 1 << 65  # > any u64 length tag; domain-separates
+_POSEIDON_CHALLENGE_TAG = 1 << 65  # > any u64 length tag
 
 
 class _PoseidonTranscriptBase:
@@ -176,7 +178,11 @@ class _PoseidonTranscriptBase:
         self._buffer.append(scalar % self.fs.modulus)
 
     def squeeze_challenge(self) -> int:
-        self._buffer.append(_POSEIDON_CHALLENGE_TAG % self.fs.modulus)
+        # capacity-slot tag: squeeze boundaries never collide with any
+        # rate-absorbed data element
+        self._state[self._rate] = (
+            self._state[self._rate] + _POSEIDON_CHALLENGE_TAG
+        ) % self.fs.modulus
         self._drain()
         return self._state[0]
 
