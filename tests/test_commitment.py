@@ -42,6 +42,16 @@ def test_params_serialization_roundtrip(params):
     assert p2.w == params.w and p2.u == params.u
 
 
+def test_params_read_rejects_malformed(params):
+    import pytest
+    data = params.write()
+    with pytest.raises(ValueError, match="truncated"):
+        Params.read(PALLAS, data[:-1])
+    with pytest.raises(ValueError, match="out of range"):
+        # absurd k header must be rejected before `1 << k` allocates
+        Params.read(PALLAS, b"\xff\xff\xff\xff" + data[4:])
+
+
 def test_commit_coeff_vs_lagrange(params):
     """commit(z) == commit_lagrange(evals of z) (commitment.rs:258-302)."""
     from halo2_tpu.poly.domain import EvaluationDomain
