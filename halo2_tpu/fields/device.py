@@ -392,6 +392,15 @@ def _mont_mul(df: DeviceField, a, b):
     for i in range(NLIMBS):
         cols = cols.at[..., i:i + NLIMBS].add(lo[..., i, :])
         cols = cols.at[..., i + 1:i + 1 + NLIMBS].add(hi[..., i, :])
+    return _mont_reduce_cols(df, cols)
+
+
+def _mont_reduce_cols(df: DeviceField, cols: jnp.ndarray) -> jnp.ndarray:
+    """Steps 3-5 of the Montgomery product on an accumulated column
+    array [..., 33] (each column <= ~2^22): word-by-word reduction that
+    skips the zero limbs of the Pasta moduli, carry propagation,
+    conditional subtract. Shared by _mont_mul and the MXU
+    constant-multiply path (ops/mxu_field.py)."""
     # 3) Montgomery reduction, one 16-bit digit per round.
     n0 = jnp.uint32(df.n0)
     p = df.p_limbs
@@ -406,7 +415,7 @@ def _mont_mul(df: DeviceField, a, b):
     run_consts = [jnp.asarray(np.array([p[j] for j in range(lo_j, hi_j)],
                                        dtype=np.uint32))
                   for lo_j, hi_j in runs]
-    c = jnp.zeros(a.shape[:-1], dtype=U32)
+    c = jnp.zeros(cols.shape[:-1], dtype=U32)
     for i in range(NLIMBS):
         t = cols[..., i] + c
         m = (t * n0) & MASK

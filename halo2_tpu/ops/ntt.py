@@ -145,6 +145,18 @@ def _ntt_impl_b(df: DeviceField, x: jnp.ndarray, perm: jnp.ndarray,
     return x
 
 
+def ntt_many(df: DeviceField, x: jnp.ndarray, plan: NttPlan) -> jnp.ndarray:
+    """Batched forward NTT [m, n, 16] along axis 1 (one jitted stage
+    pipeline per (field, n, m))."""
+    key = (id(df), plan.n, "many", x.shape[0])
+    perm, tws = _plan_dev(plan)
+    fn = _NTT_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(lambda v, pm, *tw: _ntt_impl_b(df, v, pm, tw))
+        _NTT_JIT[key] = fn
+    return fn(x, perm, *tws)
+
+
 def make_inv_plan(df: DeviceField, plan: NttPlan) -> tuple[NttPlan, jnp.ndarray]:
     """Inverse plan + n^{-1} scale factor (mont limbs)."""
     p = df.spec.modulus

@@ -43,8 +43,32 @@ def _use_pallas(n: int) -> bool:
         return False
 
 
+# At or above this size (on accelerator backends) NTTs run through the
+# four-step MXU-matmul path (ops/mxu_field.ntt_mxu): the twiddle digit
+# products become grouped matmuls on the systolic array — measured
+# 62.2M vs 46.7M butterflies/s at k=20 on the attached v5e (bit-exact;
+# the Montgomery reduction stays on the VPU). Below it, dispatch
+# latency floors both paths; set huge to disable.
+MXU_NTT_MIN = int(_os.environ.get("HALO2_TPU_MXU_NTT_MIN",
+                                  str(1 << 16)))
+
+
+def _use_mxu(n: int) -> bool:
+    if n < MXU_NTT_MIN:
+        return False
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon", "gpu")
+    except Exception:
+        return False
+
+
 def _ntt_dispatch(df: DeviceField, values, plan):
-    """ntt() or the Pallas limbs-first path, by size/platform."""
+    """ntt(), the MXU four-step path, or the Pallas limbs-first path,
+    by size/platform."""
+    if _use_mxu(plan.n):
+        from ..ops.mxu_field import ntt_mxu
+        return ntt_mxu(df, values, plan)
     if _use_pallas(plan.n):
         from ..ops.pallas_field import (ntt_pallas, to_limbs_first,
                                         from_limbs_first)
@@ -303,6 +327,26 @@ class EvaluationDomain:
                 polys.append(jnp.asarray(native.u64_to_dev_mont(col)))
                 cosets.append(jnp.asarray(native.u64_to_dev_mont(ext)))
             return polys, cosets
+        if _use_mxu(self.n) or _use_mxu(self.extended_n):
+            # four-step MXU path for whichever transform is big enough;
+            # a few extra dispatches vs the fully-fused jit, but the
+            # twiddle matmuls win at these sizes
+            from ..ops.mxu_field import ntt_mxu_b
+            from ..ops.ntt import ntt_many
+            df = self.df
+            vals = jnp.stack(values_list, axis=0)
+            intt_b = (ntt_mxu_b if _use_mxu(self.n) else ntt_many)
+            x = intt_b(df, vals, self.plan_inv)
+            polys = fmul(df, x, jnp.broadcast_to(self._ifft_divisor,
+                                                 x.shape))
+            a = fmul(df, polys, self._coset_in[None])
+            pad = jnp.zeros((m, self.extended_n - self.n, NLIMBS),
+                            dtype=a.dtype)
+            padded = jnp.concatenate([a, pad], axis=1)
+            ntt_b = (ntt_mxu_b if _use_mxu(self.extended_n) else ntt_many)
+            cosets = ntt_b(df, padded, self.plan_ext)
+            return ([polys[j] for j in range(m)],
+                    [cosets[j] for j in range(m)])
         import jax
         from ..ops.ntt import _plan_dev, _ntt_impl_b
         df = self.df
