@@ -148,6 +148,98 @@ class WitnessCollection:
         pass
 
 
+# Max expression-AST nodes fused into one jitted h-chunk program; 0
+# disables chunking (the eager per-op path). Fusing would cut Table16's
+# ~6,500 per-instance gate-eval dispatches (71 s of the 94 s warm k=17
+# prove) to dozens, but on the attached runtime every compiled
+# executable occupies device memory on load and the chunk fleet
+# exhausts HBM at k=17 at every chunk size tried (400/96/32/8 nodes —
+# the failure is cumulative executable loads, not per-chunk
+# intermediates). Default off; enable on runtimes with cheap
+# executables via HALO2_TPU_H_CHUNK_NODES.
+H_CHUNK_NODES = int(os.environ.get("HALO2_TPU_H_CHUNK_NODES", "0"))
+
+
+def _expr_nodes(e) -> int:
+    return e.evaluate(
+        constant=lambda v: 1, selector_fn=lambda s: 1,
+        fixed_fn=lambda q: 1, advice_fn=lambda q: 1,
+        instance_fn=lambda q: 1, negated=lambda a: a + 1,
+        sum_fn=lambda a, b: a + b + 1, product=lambda a, b: a + b + 1,
+        scaled=lambda a, v: a + 1)
+
+
+def _gates_h_fold(pk, cs, df, rot_scale: int, ext_n: int, y: int, y_m,
+                  h_acc, advice_c, fixed_c, instance_c):
+    """Fold every gate polynomial into the quotient accumulator with
+    chunked jitted programs: chunk fold = h·y^k + Σ t_i·y^{k-i} (the
+    same Horner order as term-by-term folding). Compiled chunks are
+    cached on the pk and reused across circuit instances and proofs."""
+    import jax
+    if H_CHUNK_NODES <= 0:
+        # eager path: one dispatch per expression node
+        for gate in cs.gates:
+            for expr in gate.polys:
+                t = evaluate_expression(
+                    df, expr, advice=advice_c, fixed=fixed_c,
+                    instance=instance_c, rot_scale=rot_scale)
+                if h_acc is None:
+                    h_acc = t
+                else:
+                    h_acc = fadd(df, fmul(df, h_acc, jnp.broadcast_to(
+                        y_m, h_acc.shape)), t)
+        return h_acc
+    chunks = getattr(pk, "_h_gate_chunks", None)
+    if chunks is None:
+        exprs = [e for gate in cs.gates for e in gate.polys]
+        chunks = []
+        cur, cur_nodes = [], 0
+        for e in exprs:
+            nn = _expr_nodes(e)
+            if cur and cur_nodes + nn > H_CHUNK_NODES:
+                chunks.append(cur)
+                cur, cur_nodes = [], 0
+            cur.append(e)
+            cur_nodes += nn
+        if cur:
+            chunks.append(cur)
+        pk._h_gate_chunks = chunks
+        pk._h_chunk_fns = [None] * len(chunks)
+    if not chunks:
+        return h_acc
+
+    p = df.spec.modulus
+    for ci, chunk in enumerate(chunks):
+        fn = pk._h_chunk_fns[ci]
+        if fn is None:
+            def make(chunk=chunk):
+                def impl(h_prev, ym, ykm, adv, fxd, inst):
+                    local = None
+                    for e in chunk:
+                        t = evaluate_expression(
+                            df, e, advice=list(adv), fixed=list(fxd),
+                            instance=list(inst), rot_scale=rot_scale)
+                        if local is None:
+                            local = t
+                        else:
+                            local = fadd(
+                                df, fmul(df, local, jnp.broadcast_to(
+                                    ym, local.shape)), t)
+                    local = jnp.broadcast_to(local, (ext_n, NLIMBS))
+                    return fadd(df, fmul(df, h_prev, jnp.broadcast_to(
+                        ykm, h_prev.shape)), local)
+                # donate the accumulator: its 64 MB buffer at k=17 is
+                # dead after the fold
+                return jax.jit(impl, donate_argnums=(0,))
+            fn = pk._h_chunk_fns[ci] = make()
+        yk_m = df.scalar(pow(y, len(chunk), p))
+        if h_acc is None:
+            h_acc = df.zeros((ext_n,))
+        h_acc = fn(h_acc, y_m, yk_m, tuple(advice_c), tuple(fixed_c),
+                   tuple(instance_c))
+    return h_acc
+
+
 def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
                  instances: list[list[list[int]]], rng, transcript) -> None:
     """prover.rs:35-725. `instances[i][j]` is the j-th instance column for
@@ -305,13 +397,13 @@ def create_proof(params: Params, pk: ProvingKey, circuits: list[Circuit],
     for inst_s, adv_s, perm_sets, lk_committed in zip(
             instance_singles, advice_singles, permutations_committed,
             lookups_committed):
-        # gate constraints
-        for gate in cs.gates:
-            for expr in gate.polys:
-                h_fold(evaluate_expression(
-                    df, expr, advice=adv_s["cosets"],
-                    fixed=pk.fixed_cosets, instance=inst_s["cosets"],
-                    rot_scale=rot_scale))
+        # gate constraints: chunk-jitted fused evaluation — evaluating
+        # each expression node as its own eager dispatch cost ~6,500
+        # device round-trips per Table16 instance (71 s of the 94 s
+        # warm k=17 prove); fused chunks collapse that to ~16 dispatches
+        h_acc = _gates_h_fold(pk, cs, df, rot_scale, ext_n, y, y_m,
+                              h_acc, adv_s["cosets"], pk.fixed_cosets,
+                              inst_s["cosets"])
         # permutation constraints
         for term in permutation_h_terms(
                 cs, domain, pk.permutation, perm_sets,
