@@ -177,12 +177,22 @@ def _gates_h_fold(pk, cs, df, rot_scale: int, ext_n: int, y: int, y_m,
     cached on the pk and reused across circuit instances and proofs."""
     import jax
     if H_CHUNK_NODES <= 0:
-        # eager path: one dispatch per expression node
+        # eager path: one dispatch per DISTINCT expression node — the
+        # use-counted memo hash-conses repeated subtrees and column
+        # queries across the whole gate set (Table16: 6,559 nodes ->
+        # 931 distinct) while freeing each shared value after its last
+        # use so peak device memory stays bounded
+        from .evaluation import expression_share_counts, fresh_memo
+        tmpl = getattr(pk, "_h_share_counts", None)
+        if tmpl is None:
+            tmpl = pk._h_share_counts = expression_share_counts(
+                [e for g in cs.gates for e in g.polys])
+        memo = fresh_memo(tmpl)
         for gate in cs.gates:
             for expr in gate.polys:
                 t = evaluate_expression(
                     df, expr, advice=advice_c, fixed=fixed_c,
-                    instance=instance_c, rot_scale=rot_scale)
+                    instance=instance_c, rot_scale=rot_scale, memo=memo)
                 if h_acc is None:
                     h_acc = t
                 else:
