@@ -170,14 +170,20 @@ def worker(k: int) -> None:
             vals = np.random.default_rng(5).integers(
                 0, 1 << 16, size=(m, 16)).astype(np.uint32)
             x = jnp.asarray(vals)
-            y = _ntt_dispatch(dfq, x, plan)          # compile
+            ntt_jit = jax.jit(lambda v: _ntt_dispatch(dfq, v, plan))
+            y = ntt_jit(x)                           # compile
             np.asarray(y[:1])                        # sync
             t0 = time.perf_counter()
-            y = _ntt_dispatch(dfq, x, plan)
+            y = ntt_jit(x)
             np.asarray(y[:1])                        # full readback sync
             ndt = time.perf_counter() - t0
             bfs = (m // 2) * ntt_k / ndt
             ntt_base = _native_ntt_baseline(ntt_k)
+            # two rooflines: modmul compute SoL and HBM-bandwidth SoL
+            # (bytes the compiled program actually moves / wall-clock /
+            # peak bandwidth) — VERDICT r4 'honest NTT roofline'
+            from halo2_tpu.parallel.profiling import bandwidth_fraction
+            bw_frac = bandwidth_fraction(ntt_jit, (x,), ndt)
             out["extras"].append({
                 "metric": f"ntt_k{ntt_k}_butterflies_per_s",
                 "value": round(bfs, 2),
@@ -187,6 +193,7 @@ def worker(k: int) -> None:
                 "baseline": "native_host_ntt_measured",
                 "sol_fraction": round(
                     bfs * NTT_MULS_PER_BUTTERFLY / sol, 4),
+                "bw_fraction": round(bw_frac, 4),
             })
         except Exception as e:  # pragma: no cover - best effort
             out["extras"].append({"metric": f"ntt_k{ntt_k}_error",

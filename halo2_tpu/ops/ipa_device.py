@@ -5,18 +5,16 @@ round, two cross-term MSMs (L_j/R_j), two inner products, then the
 collapse p' = p'_lo + u_j^-1 p'_hi, b = b_lo + u_j b_hi, and
 G' = G'_lo + [u_j] G'_hi (`parallel_generator_collapse`).
 
-TPU formulation (two fused dispatches per round):
-  - L/R: both Pippenger window-sum programs + both inner products in
-    one jit over the current halves; the host Horner-combines the
-    window sums (tiny serial group math) and writes the transcript.
-  - fold: u_j is a *host* scalar at fold time, so the G' collapse uses
-    a GLV-split ladder — u_j = s1 + s2*λ with |s1|,|s2| ~ 2^128 and
-    [λ]P = φ(P) = (ζ_p·x, y) (the curve endomorphism the native
-    library also exploits, native/pasta.cc:698-777) — halving the
-    ladder length: ~130 iterations of pdouble + select + masked-add on
-    the complete-formula Pallas point kernels, with the split's bit
-    arrays passed as runtime inputs (one compile per half size, not
-    per scalar).
+TPU formulation (ONE fused dispatch per round, ≤4 executables per k):
+  - each round dispatches a bucketed fold+next-L/R program (see the
+    "bucketed fold+LR rounds" section): fold p'/b at runtime width h,
+    collapse G' with a GLV-split ladder — u_j = s1 + s2*λ with
+    |s1|,|s2| ~ 2^65 and [λ]P = φ(P) = (ζ_p·x, y) (the curve
+    endomorphism the native library also exploits,
+    native/pasta.cc:698-777) — then compute the NEXT round's Pippenger
+    L/R window sums + inner products over the folded state, all inside
+    one jit. The host Horner-combines the window sums (tiny serial
+    group math) and writes the transcript.
 
 Group math is exact: results are bit-identical to the host path.
 """
@@ -107,39 +105,204 @@ def _bits_msb(s: int, nb: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# per-round dispatches
+# bucketed fold+LR rounds — the executable-count-frugal formulation
 # ---------------------------------------------------------------------------
+#
+# The round-per-shape design needed ~2 executables per round (34 loads at
+# k=16 on a runtime where a fresh-process executable LOAD costs 10-30 s).
+# This formulation keeps the open state at FULL width n for every round
+# (p'/b zero-padded, G' identity-padded) and compiles ONE program per
+# power-of-4 "bucket" width Wf ∈ {n/2, n/8, n/32, … ≥ TAIL}:
+#
+#   fold_lr(state, u_j, h) = fold p'/b/G' at runtime width h ≤ Wf,
+#                            then the NEXT round's L/R window sums +
+#                            inner products at h/2,
+#
+# so every round after the first is one dispatch of one of ~3 programs
+# (h is a runtime scalar; lanes ≥ h are masked — zero scalars fall in
+# the excluded 0-bucket of the Pippenger sort, identity bases pass
+# through). The first round has a fold-free variant per top bucket.
+# Total: ≤ 4 executables per k instead of ~2k.
 
-_LR_JIT: dict = {}
-_FOLD_JIT: dict = {}
+TAIL_WF = int(__import__("os").environ.get("HALO2_TPU_IPA_TAIL_WF",
+                                           "2048"))
+
+_FOLDLR_JIT: dict = {}
 
 
-def ipa_round_lr(params, p_prime: jnp.ndarray, b: jnp.ndarray,
-                 gproj: jnp.ndarray, half: int):
-    """One dispatch: L/R window sums + both inner products. Returns
-    (l_point, r_point, value_l, value_r) with points/values on host."""
+def bucket_widths(n: int) -> list[int]:
+    """Descending power-of-4 ladder of bucket widths for a size-n open."""
+    ws = []
+    w = n // 2
+    while w > TAIL_WF:
+        ws.append(w)
+        w //= 4
+    ws.append(max(w, 1))
+    return ws
+
+
+def bucket_for(half: int, n: int) -> int:
+    for w in bucket_widths(n):
+        if half <= w:
+            wf = w
+    return wf
+
+
+def _ipa_fold_lr_fn(params, n: int, wf: int, first: bool,
+                    interpret: bool):
+    """Build the bucket-Wf program. first=True skips the fold (round 0)."""
     df = params.scalar_df
     dev = params.dev
-    c = mp.pick_c(half)
-    interpret = _interpret_default()
-    key = (params.curve.name, half, c, interpret)
-    fn = _LR_JIT.get(key)
-    if fn is None:
-        def impl(pp, bb, g):
-            d_hi = from_mont(df, pp[half:])
-            d_lo = from_mont(df, pp[:half])
-            wl, _ = mp.msm_pallas_window_sums(
-                params.curve, dev.base, d_hi, g[:, :half], c,
-                interpret=interpret)
-            wr, _ = mp.msm_pallas_window_sums(
-                params.curve, dev.base, d_lo, g[:, half:2 * half], c,
-                interpret=interpret)
-            vl = inner_product(df, pp[half:], bb[:half])
-            vr = inner_product(df, pp[:half], bb[half:])
+    dfb = dev.base
+    c = mp.pick_c(wf)
+    ident = jnp.asarray(_ident_col_np(dfb.spec.modulus))
+    zeta_b = dfb.scalar(dfb.spec.zeta)
+
+    def impl(pp, bb, g, ujm, ujinvm, bits, negs, h):
+        S = min(2 * wf, n)
+        idxw = jnp.arange(wf, dtype=jnp.int32)
+        if first:
+            # no fold yet: L/R over the FULL unfolded state (width n —
+            # p'_hi lives at [wf, 2wf), beyond any width-wf slice)
+            idxw = jnp.arange(n, dtype=jnp.int32)
+            p_f, b_f, g_f = pp, bb, g
+            wf_lr = n
+            h2 = h  # round-0 L/R run at the full top half
+        else:
+            wf_lr = wf
+            pp_s, bb_s, g_s = pp[:S], bb[:S], g[:, :S]
+            hi_idx = jnp.clip(idxw + h, 0, S - 1)
+            hi_ok = (idxw + h) < S
+            lane_ok = idxw < h
+            pp_hi = jnp.where(hi_ok[:, None],
+                              jnp.take(pp_s, hi_idx, axis=0), 0)
+            bb_hi = jnp.where(hi_ok[:, None],
+                              jnp.take(bb_s, hi_idx, axis=0), 0)
+            p_f = fadd(df, pp_s[:wf],
+                       fmul(df, pp_hi,
+                            jnp.broadcast_to(ujinvm, (wf, NLIMBS))))
+            b_f = fadd(df, bb_s[:wf],
+                       fmul(df, bb_hi,
+                            jnp.broadcast_to(ujm, (wf, NLIMBS))))
+            p_f = jnp.where(lane_ok[:, None], p_f, 0)
+            b_f = jnp.where(lane_ok[:, None], b_f, 0)
+
+            # G' collapse via the GLV ladder: [u_j] G'_hi, then + G'_lo
+            from ..fields.device import fneg
+            ghi = jnp.where(hi_ok[None, :],
+                            jnp.take(g_s, hi_idx, axis=1), 0)
+            X, Y, Z = ghi[:16], ghi[16:32], ghi[32:48]
+            negY = fneg(dfb, Y.T).T
+
+            def signed(neg_flag, x_part):
+                y = jnp.where(neg_flag.astype(jnp.bool_), negY, Y)
+                return jnp.concatenate([x_part, y, Z], axis=0)
+
+            t1 = signed(negs[0], X)
+            t2 = signed(negs[1],
+                        fmul(dfb, X.T,
+                             jnp.broadcast_to(zeta_b, (wf, NLIMBS))).T)
+            t12 = padd_flat(dfb, t1, t2, interpret=interpret)
+            acc0 = jnp.broadcast_to(ident[:, None], (48, wf))
+
+            def body(i, acc):
+                acc = pdouble_flat(dfb, acc, interpret=interpret)
+                b1 = bits[0, i]
+                b2 = bits[1, i]
+                sel = b1 + 2 * b2
+                addend = jnp.where(sel == 3, t12,
+                                   jnp.where(sel == 2, t2, t1))
+                mask = ((sel > 0) & lane_ok).astype(jnp.uint32)
+                return padd_masked_flat(dfb, acc, addend, mask,
+                                        interpret=interpret)
+
+            acc = jax.lax.fori_loop(0, GLV_BITS, body, acc0)
+            g_f = padd_flat(dfb, g_s[:, :wf], acc, interpret=interpret)
+            g_f = jnp.where(lane_ok[None, :], g_f,
+                            jnp.broadcast_to(ident[:, None], (48, wf)))
+            h2 = h >> 1
+
+        # ---- next round's L/R over the folded width-h2 state ----
+        d_all = from_mont(df, p_f)                      # [wf_lr, 16]
+        hi2 = jnp.clip(idxw + h2, 0, wf_lr - 1)
+        ok2 = (idxw + h2) < wf_lr
+        in2 = idxw < h2
+        dL = jnp.where((ok2 & in2)[:, None],
+                       jnp.take(d_all, hi2, axis=0), 0)
+        dR = jnp.where(in2[:, None], d_all, 0)
+        basesR = jnp.where(ok2[None, :], jnp.take(g_f, hi2, axis=1), 0)
+        wl, _ = mp.msm_pallas_window_sums(params.curve, dfb, dL, g_f, c,
+                                          interpret=interpret)
+        wr, _ = mp.msm_pallas_window_sums(params.curve, dfb, dR, basesR,
+                                          c, interpret=interpret)
+        b_hi2 = jnp.where(ok2[:, None], jnp.take(b_f, hi2, axis=0), 0)
+        p_hi2 = jnp.where(ok2[:, None], jnp.take(p_f, hi2, axis=0), 0)
+        vl = inner_product(df, p_hi2, b_f)
+        vr = inner_product(df, p_f, b_hi2)
+
+        if first:
             return wl, wr, jnp.stack([vl, vr])
-        fn = jax.jit(impl)
-        _LR_JIT[key] = fn
-    wl, wr, vals = fn(p_prime, b, gproj)
+        # pad the folded state back to uniform width n
+        zp = jnp.zeros((n - wf, NLIMBS), jnp.uint32)
+        gp = jnp.broadcast_to(ident[:, None], (48, n - wf))
+        return (jnp.concatenate([p_f, zp], axis=0),
+                jnp.concatenate([b_f, zp], axis=0),
+                jnp.concatenate([g_f, gp], axis=1),
+                wl, wr, jnp.stack([vl, vr]))
+
+    return jax.jit(impl), c
+
+
+def ipa_device_first_lr(params, p_prime, b, gproj):
+    """Round-0 L/R (no fold yet): one dispatch of the top-bucket
+    first-variant. Returns (l_pt, r_pt, value_l, value_r) on host."""
+    n = p_prime.shape[0]
+    wf = n // 2
+    interpret = _interpret_default()
+    key = (params.curve.name, n, wf, "first", interpret)
+    ent = _FOLDLR_JIT.get(key)
+    if ent is None:
+        ent = _ipa_fold_lr_fn(params, n, wf, True, interpret)
+        _FOLDLR_JIT[key] = ent
+    fn, c = ent
+    zero_bits = jnp.zeros((2, GLV_BITS), jnp.uint32)
+    zero_negs = jnp.zeros((2,), jnp.uint32)
+    one = params.scalar_df.scalar(1)
+    wl, wr, vals = fn(p_prime, b, gproj, one, one, zero_bits, zero_negs,
+                      jnp.int32(wf))
+    return _lr_to_host(params, wl, wr, vals, c)
+
+
+def ipa_device_fold_lr(params, p_prime, b, gproj, half: int, u_j: int,
+                       u_j_inv: int):
+    """Fold round at width `half` + the NEXT round's L/R, one dispatch.
+    Returns (p', b', g', l_pt, r_pt, value_l, value_r); the L/R values
+    are garbage on the final call (half == 1) — callers ignore them."""
+    df = params.scalar_df
+    fs = params.curve.scalar
+    n = p_prime.shape[0]
+    wf = bucket_for(half, n)
+    interpret = _interpret_default()
+    key = (params.curve.name, n, wf, "fold", interpret)
+    ent = _FOLDLR_JIT.get(key)
+    if ent is None:
+        ent = _ipa_fold_lr_fn(params, n, wf, False, interpret)
+        _FOLDLR_JIT[key] = ent
+    fn, c = ent
+    s1, neg1, s2, neg2 = glv_split(fs, params.curve.name, u_j)
+    bits = jnp.asarray(np.stack([_bits_msb(s1, GLV_BITS),
+                                 _bits_msb(s2, GLV_BITS)]))
+    negs = jnp.asarray(np.array([neg1, neg2], np.uint32))
+    p_n, b_n, g_n, wl, wr, vals = fn(p_prime, b, gproj, df.scalar(u_j),
+                                     df.scalar(u_j_inv), bits, negs,
+                                     jnp.int32(half))
+    l_pt, r_pt, vl, vr = _lr_to_host(params, wl, wr, vals, c)
+    return p_n, b_n, g_n, l_pt, r_pt, vl, vr
+
+
+def _lr_to_host(params, wl, wr, vals, c):
+    df = params.scalar_df
+    dev = params.dev
     wl_np, wr_np, vals_np = (np.asarray(wl), np.asarray(wr),
                              np.asarray(vals))
     l_pt = mp.host_horner_combine(
@@ -148,78 +311,3 @@ def ipa_round_lr(params, p_prime: jnp.ndarray, b: jnp.ndarray,
         params.curve, mp.points_from_proj(params.curve, dev.base, wr_np), c)
     value_l, value_r = (int(v) for v in df.from_mont_np(vals_np))
     return l_pt, r_pt, value_l, value_r
-
-
-def ipa_fold(params, p_prime: jnp.ndarray, b: jnp.ndarray,
-             gproj: jnp.ndarray | None, half: int, u_j: int,
-             u_j_inv: int):
-    """One dispatch: p'/b folds + the GLV-ladder G' collapse. Pass
-    gproj=None on the final round (no further L/R needs G'). Returns
-    (p_prime', b', gproj')."""
-    df = params.scalar_df
-    dev = params.dev
-    fs = params.curve.scalar
-    interpret = _interpret_default()
-    with_g = gproj is not None
-    key = (params.curve.name, half, with_g, interpret)
-    fn = _FOLD_JIT.get(key)
-    if fn is None:
-        zeta_b = dev.base.scalar(dev.base.spec.zeta)
-        ident = jnp.asarray(_ident_col_np(dev.base.spec.modulus))
-
-        def impl(pp, bb, g, uj_m, ujinv_m, bits, negs):
-            p_new = fadd(df, pp[:half],
-                         fmul(df, pp[half:],
-                              jnp.broadcast_to(ujinv_m, (half, NLIMBS))))
-            b_new = fadd(df, bb[:half],
-                         fmul(df, bb[half:],
-                              jnp.broadcast_to(uj_m, (half, NLIMBS))))
-            if not with_g:
-                return p_new, b_new, jnp.zeros((0,), jnp.uint32)
-            from ..fields.device import fneg
-            glo = g[:, :half]
-            ghi = g[:, half:2 * half]
-            X, Y, Z = ghi[:16], ghi[16:32], ghi[32:48]
-            negY = fneg(df=dev.base, a=Y.T).T
-
-            def signed(neg_flag, x_part):
-                y = jnp.where(neg_flag.astype(jnp.bool_), negY, Y)
-                return jnp.concatenate([x_part, y, Z], axis=0)
-
-            t1 = signed(negs[0], X)
-            t2 = signed(negs[1],
-                        fmul(dev.base, X.T,
-                             jnp.broadcast_to(zeta_b, (half, NLIMBS))).T)
-            t12 = padd_flat(dev.base, t1, t2, interpret=interpret)
-            acc0 = jnp.broadcast_to(ident[:, None], (48, half))
-
-            def body(i, acc):
-                acc = pdouble_flat(dev.base, acc, interpret=interpret)
-                b1 = bits[0, i]
-                b2 = bits[1, i]
-                sel = b1 + 2 * b2
-                addend = jnp.where(sel == 3, t12,
-                                   jnp.where(sel == 2, t2, t1))
-                mask = jnp.broadcast_to(
-                    (sel > 0).astype(jnp.uint32), (half,))
-                return padd_masked_flat(dev.base, acc, addend, mask,
-                                        interpret=interpret)
-
-            acc = jax.lax.fori_loop(0, GLV_BITS, body, acc0)
-            g_new = padd_flat(dev.base, glo, acc, interpret=interpret)
-            return p_new, b_new, g_new
-        fn = jax.jit(impl)
-        _FOLD_JIT[key] = fn
-
-    if with_g:
-        s1, neg1, s2, neg2 = glv_split(fs, params.curve.name, u_j)
-        bits = jnp.asarray(np.stack([_bits_msb(s1, GLV_BITS),
-                                     _bits_msb(s2, GLV_BITS)]))
-        negs = jnp.asarray(np.array([neg1, neg2], np.uint32))
-    else:
-        bits = jnp.zeros((2, GLV_BITS), jnp.uint32)
-        negs = jnp.zeros((2,), jnp.uint32)
-    g_in = gproj if with_g else jnp.zeros((48, 2 * half), jnp.uint32)
-    p_new, b_new, g_new = fn(p_prime, b, g_in, df.scalar(u_j),
-                             df.scalar(u_j_inv), bits, negs)
-    return p_new, b_new, (g_new if with_g else None)

@@ -31,12 +31,38 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..fields.device import DeviceField, NLIMBS
+from ..fields.device import (DeviceField, NLIMBS, batch_inv, fmul,
+                             is_zero, int_to_limbs)
 from ..curves.host import CurveSpec
 from .pallas_point import (
-    LANES, padd_flat, pdouble_flat, padd_masked_flat,
+    LANES, padd_flat, pdouble_flat, padd_masked_flat, pmixed_masked_flat,
     _ident_col_j, points_to_proj, points_from_proj,
 )
+
+
+def _normalize_affine(df: DeviceField, pts: jnp.ndarray):
+    """[48, n] homogeneous projective batch -> ([32, n] affine batch with
+    identity coded (0, mont 1), [48, n] projective with Z in {0, mont 1}).
+
+    One batched inversion (~6 muls/point) buys mixed (Z2=1) adds in the
+    bucket round loop (~3 fewer wide muls x W adds per point) for ANY
+    input representation — SRS uploads arrive affine already, but folded
+    IPA G' arrays and group-op outputs do not."""
+    X = jnp.transpose(pts[:NLIMBS])               # [n, 16]
+    Y = jnp.transpose(pts[NLIMBS:2 * NLIMBS])
+    Z = jnp.transpose(pts[2 * NLIMBS:])
+    zi = batch_inv(df, Z, axis=0)
+    ax = fmul(df, X, zi)
+    ay = fmul(df, Y, zi)
+    ident = is_zero(df, Z)[:, None]
+    one = jnp.asarray(int_to_limbs(df.r_mod_p))
+    ax = jnp.where(ident, jnp.zeros_like(ax), ax)
+    ay = jnp.where(ident, jnp.broadcast_to(one, ay.shape), ay)
+    zn = jnp.where(ident, jnp.zeros_like(ay),
+                   jnp.broadcast_to(one, ay.shape))
+    aff = jnp.concatenate([jnp.transpose(ax), jnp.transpose(ay)], axis=0)
+    proj = jnp.concatenate([aff, jnp.transpose(zn)], axis=0)
+    return aff, proj
 
 
 def pick_c(n: int) -> int:
@@ -52,14 +78,22 @@ def pick_c(n: int) -> int:
     sizes (256 ≡ 0 mod c keeps the top window full-width, T=4 on the
     254.5-bit Pasta moduli)."""
     best_c, best_cost = 4, float("inf")
+    signed = _use_signed()
     for c in range(4, 17):
         W = -(-256 // c)
-        B = 1 << c
-        topbits = max(255 - c * (W - 1), 1)
-        T = max(1, B >> min(topbits, c))
-        per_bucket = n / B
-        maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
-        cost = (maxrun + 2 * c) * (W + T - 1) * B
+        if signed:
+            # signed windows: half the buckets, no top-split row
+            BL = 1 << (c - 1)
+            per_bucket = n / BL
+            maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
+            cost = (maxrun + 2 * (c - 1)) * W * BL
+        else:
+            B = 1 << c
+            topbits = max(255 - c * (W - 1), 1)
+            T = max(1, B >> min(topbits, c))
+            per_bucket = n / B
+            maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
+            cost = (maxrun + 2 * c) * (W + T - 1) * B
         if cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -83,6 +117,35 @@ def window_digits(digits16: jnp.ndarray, c: int) -> jnp.ndarray:
             val = val | (ext[:, li + 1] << (16 - off))
         outs.append(val & mask)
     return jnp.stack(outs, axis=0)
+
+
+def window_digits_signed(digits16: jnp.ndarray, c: int):
+    """[n, 16] canonical digits -> signed c-bit windows: (abs [W, n] in
+    [0, 2^(c-1)], sign [W, n] 0/1). Signed digits halve the bucket count
+    (abs value indexes the bucket, the sign rides the free curve
+    negation) AND kill the top-window skew: v_top ≤ 2^topbits ≤ 2^(c-1)
+    never recodes, so no T-way split row is needed. Exact by the carry
+    telescope: Σ ±a_w 2^{cw} = value (final carry provably 0 for
+    values < 2^255 since c·W ≥ 256)."""
+    d = window_digits(digits16, c)            # [W, n] unsigned
+    W = d.shape[0]
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    absd, signs = [], []
+    carry = jnp.zeros_like(d[0])
+    for w in range(W):
+        v = d[w] + carry
+        neg = v > half
+        absd.append(jnp.where(neg, full - v, v))
+        signs.append(neg.astype(jnp.uint32))
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(absd, axis=0), jnp.stack(signs, axis=0)
+
+
+def _use_signed() -> bool:
+    import os
+    return os.environ.get("HALO2_TPU_MSM_UNSIGNED", "") in ("", "0",
+                                                            "false")
 
 
 def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
@@ -118,20 +181,38 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     W = -(-256 // c)
     G = m * W  # independent (scalar-set, window) rows
 
-    d = jnp.concatenate([window_digits(digits16[j], c)
-                         for j in range(m)], axis=0)     # [G, n]
+    # normalize bases once: mixed (Z2=1) adds in the round loop save ~3
+    # wide muls per add; the segmented-scan fallback keeps the projective
+    # form (its partial sums are not affine)
+    pts_aff, pts = _normalize_affine(df, pts)
+
+    signed = _use_signed()
+    if signed:
+        ds_list, sg_list = zip(*[window_digits_signed(digits16[j], c)
+                                 for j in range(m)])
+        d = jnp.concatenate(ds_list, axis=0)             # [G, n] abs keys
+        sg = jnp.concatenate(sg_list, axis=0)            # [G, n] signs
+        BL = 1 << (c - 1)     # lanes: bucket b∈[1, 2^(c-1)] at lane b-1
+        bucket0 = 1
+    else:
+        d = jnp.concatenate([window_digits(digits16[j], c)
+                             for j in range(m)], axis=0)  # [G, n]
+        sg = None
+        BL = B
+        bucket0 = 0
     order = jnp.argsort(d, axis=1).astype(jnp.int32)     # [G, n]
     ds = jnp.take_along_axis(d, order, axis=1)           # sorted digits
 
     # Bucket run boundaries: a hand-vectorized binary search over the
-    # sorted digit rows — ceil(log2 n)+1 rounds of one [G, B] gather each.
-    # (vmapped jnp.searchsorted lowered to a ~50 ms program at n=2^16;
-    # XLA scatter-histograms were slower still.)
-    buckets = jnp.arange(B, dtype=jnp.uint32)[None, :]   # [1, B]
+    # sorted digit rows — ceil(log2 n)+1 rounds of one [G, BL] gather
+    # each. (vmapped jnp.searchsorted lowered to a ~50 ms program at
+    # n=2^16; XLA scatter-histograms were slower still.)
+    buckets = (jnp.arange(BL, dtype=jnp.uint32)
+               + jnp.uint32(bucket0))[None, :]           # [1, BL]
 
     def _bisect(leq: bool) -> jnp.ndarray:
-        lo = jnp.zeros((G, B), dtype=jnp.int32)
-        hi = jnp.full((G, B), n, dtype=jnp.int32)
+        lo = jnp.zeros((G, BL), dtype=jnp.int32)
+        hi = jnp.full((G, BL), n, dtype=jnp.int32)
         for _ in range(n.bit_length()):
             mid = (lo + hi) >> 1
             v = jnp.take_along_axis(ds, jnp.minimum(mid, n - 1), axis=1)
@@ -143,11 +224,15 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
 
     starts = _bisect(leq=False)
     ends = _bisect(leq=True)
-    counts = (ends - starts).astype(jnp.int32)           # [G, B]
-    # never loop for bucket-0 runs (digit 0 contributes nothing)
-    eff_counts = counts.at[:, 0].set(0)
+    counts = (ends - starts).astype(jnp.int32)           # [G, BL]
+    if signed:
+        eff_counts = counts  # key 0 excluded by the bucket range itself
+    else:
+        # never loop for bucket-0 runs (digit 0 contributes nothing)
+        eff_counts = counts.at[:, 0].set(0)
 
-    # Top-window skew split: scalars < q < 2^255 leave the top window
+    # Top-window skew split (UNSIGNED path only — signed windows never
+    # skew: v_top ≤ 2^(c-1)): scalars < q < 2^255 leave the top window
     # only `topbits` of entropy, so its bucket runs are ~B/2^topbits
     # times longer than the uniform windows' — without this the round
     # loop spends most of its iterations on a single window's tails
@@ -156,7 +241,8 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     # run slices; their partial window sums add back at the end
     # (summation-by-parts is linear in the bucket sums).
     top_range = ((cv_spec.scalar.modulus - 1) >> (c * (W - 1))) + 1
-    T = max(1, B // (1 << max(1, top_range.bit_length() - 1)))
+    T = 1 if signed else max(
+        1, B // (1 << max(1, top_range.bit_length() - 1)))
     row_map = np.arange(G, dtype=np.int32)
     if T > 1:
         top_rows = np.arange(W - 1, G, W, dtype=np.int32)   # [m]
@@ -183,27 +269,29 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     maxc = jnp.max(counts_e)
 
     ident_col = _ident_col_j(df.spec.modulus)
-    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, Ge * B))
+    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, Ge * BL))
 
     starts_i = starts_e.astype(jnp.int32)
 
     def _serial_runs(_):
         """One add per (row, bucket) run member per round; rounds = max
         run length. Optimal for near-uniform digit distributions
-        (runs ≈ n/B)."""
+        (runs ≈ n/BL)."""
         def cond(state):
             r, _ = state
             return r < maxc
 
         def body(state):
             r, acc = state
-            idx = jnp.minimum(starts_i + r, n - 1)       # [Ge, B]
-            valid = (r < counts_e).reshape(-1)           # [Ge*B]
+            idx = jnp.minimum(starts_i + r, n - 1)       # [Ge, BL]
+            valid = (r < counts_e).reshape(-1)           # [Ge*BL]
             gidx = jnp.take_along_axis(order_e, idx, axis=1)
-            P = jnp.take(pts, gidx.reshape(-1), axis=1)  # [48, Ge*B]
-            acc = padd_masked_flat(df, acc, P,
-                                   valid.astype(jnp.uint32),
-                                   interpret=interpret)
+            P = jnp.take(pts_aff, gidx.reshape(-1), axis=1)  # [32, Ge*BL]
+            sig = (jnp.take_along_axis(sg, gidx, axis=1).reshape(-1)
+                   if signed else None)
+            acc = pmixed_masked_flat(df, acc, P,
+                                     valid.astype(jnp.uint32),
+                                     signs=sig, interpret=interpret)
             return r + 1, acc
 
         _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
@@ -217,6 +305,17 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
         one [48, G·n] masked add, where the serial loop would need
         `maxrun` rounds (up to n for an all-equal column)."""
         psort = jnp.take(pts, order.reshape(-1), axis=1)  # [48, G*n]
+        if signed:
+            # apply the digit signs to the sorted copies up front (the
+            # scan's partial sums then carry them implicitly)
+            from ..fields.device import fneg
+            sgsort = jnp.take_along_axis(sg, order, axis=1).reshape(-1)
+            Yt = jnp.transpose(psort[NLIMBS:2 * NLIMBS])
+            Yt = jnp.where(sgsort.astype(jnp.bool_)[:, None],
+                           fneg(df, Yt), Yt)
+            psort = jnp.concatenate(
+                [psort[:NLIMBS], jnp.transpose(Yt), psort[2 * NLIMBS:]],
+                axis=0)
         pos = jnp.arange(n, dtype=jnp.int32)[None, :]     # [1, n]
         maxc_full = jnp.max(eff_counts)  # UNSPLIT max run length
 
@@ -237,11 +336,11 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
 
         _, scanned = jax.lax.while_loop(scond, sbody,
                                         (jnp.int32(1), psort))
-        # run-end positions hold full run sums -> [48, G*B]
-        endpos = jnp.maximum(ends - 1, 0)                 # [G, B]
+        # run-end positions hold full run sums -> [48, G*BL]
+        endpos = jnp.maximum(ends - 1, 0)                 # [G, BL]
         flat = (jnp.arange(G, dtype=jnp.int32)[:, None] * n
                 + endpos).reshape(-1)
-        sums = jnp.take(scanned, flat, axis=1)            # [48, G*B]
+        sums = jnp.take(scanned, flat, axis=1)            # [48, G*BL]
         nonempty = (eff_counts > 0).reshape(-1)
         idw = jnp.broadcast_to(ident_col[:, None], sums.shape)
         sums = jnp.where(nonempty[None, :], sums, idw)
@@ -249,56 +348,61 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
             # expand to the split-row layout: extra sub-rows contribute
             # identity (their work is already in the base rows here)
             pad = jnp.broadcast_to(ident_col[:, None],
-                                   (3 * NLIMBS, (Ge - G) * B))
+                                   (3 * NLIMBS, (Ge - G) * BL))
             sums = jnp.concatenate([sums, pad], axis=1)
         return sums
 
-    # Crossover: serial cost ≈ maxrun·(Ge·B) lane-adds, scan cost ≈
+    # Crossover: serial cost ≈ maxrun·(Ge·BL) lane-adds, scan cost ≈
     # ceil(log2 maxrun)·(G·n). Pick per input at runtime — one compiled
     # graph, lax.cond executes a single branch on TPU.
-    skew_threshold = jnp.int32(max(2 * c * ((n // B) + 1) + 2 * c, 64))
+    skew_threshold = jnp.int32(max(2 * c * ((n // BL) + 1) + 2 * c, 64))
     acc = jax.lax.cond(maxc > skew_threshold, _segmented_scan,
                        _serial_runs, operand=None)
 
     # summation by parts: suffix sums along the bucket axis, then the
     # per-window total of the suffix series equals sum_b b * S_b.
-    # Both phases are fori_loops over log2(B) rounds of one fixed-shape
-    # masked-add each (rolled lanes beyond the window edge are masked off)
-    # to keep the traced graph small.
-    bidx = jnp.arange(B, dtype=jnp.int32)
+    # Both phases are fori_loops over ceil(log2(BL)) rounds of one
+    # fixed-shape masked-add each (rolled lanes beyond the window edge
+    # are masked off) to keep the traced graph small. Lane j holds
+    # bucket j+bucket0, so Σ_j suf[j] = Σ_b (b − bucket0 + 1)·S_b; for
+    # the signed layout (bucket0=1, no lane 0 waste) that IS Σ b·S_b,
+    # for the unsigned layout the bucket-0 lane is dropped below.
+    bidx = jnp.arange(BL, dtype=jnp.int32)
 
     def suffix_round(i, suf):
         s = jnp.int32(1) << i
-        suf3 = suf.reshape(3 * NLIMBS, Ge, B)
+        suf3 = suf.reshape(3 * NLIMBS, Ge, BL)
         shifted = jnp.roll(suf3, -s, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx + s < B)[None, :], (Ge, B))
+        mask = jnp.broadcast_to((bidx + s < BL)[None, :], (Ge, BL))
         return padd_masked_flat(df, suf, shifted,
                                 mask.reshape(-1).astype(jnp.uint32),
                                 interpret=interpret)
 
-    logb = int(math.log2(B))
+    logb = int(math.ceil(math.log2(BL)))
     suf = jax.lax.fori_loop(0, logb, suffix_round, acc)
 
-    # drop bucket 0 (its suffix is the full per-window total, not b·S_b)
-    suf3 = suf.reshape(3 * NLIMBS, Ge, B)
-    ident_w = jnp.broadcast_to(ident_col[:, None, None],
-                               (3 * NLIMBS, Ge, 1))
-    suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
-        3 * NLIMBS, -1)
+    if not signed:
+        # drop bucket 0 (its suffix is the full per-window total, not
+        # b·S_b)
+        suf3 = suf.reshape(3 * NLIMBS, Ge, BL)
+        ident_w = jnp.broadcast_to(ident_col[:, None, None],
+                                   (3 * NLIMBS, Ge, 1))
+        suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
+            3 * NLIMBS, -1)
 
     # tree sum over the bucket axis -> [48, Ge] (kept at full width with a
     # shrinking mask so one traced body serves every level)
     def tree_round(i, cur):
-        half = jnp.int32(B) >> (i + 1)
-        cur3 = cur.reshape(3 * NLIMBS, Ge, B)
+        half = jnp.int32(BL) >> (i + 1)
+        cur3 = cur.reshape(3 * NLIMBS, Ge, BL)
         shifted = jnp.roll(cur3, -half, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx < half)[None, :], (Ge, B))
+        mask = jnp.broadcast_to((bidx < half)[None, :], (Ge, BL))
         return padd_masked_flat(df, cur, shifted,
                                 mask.reshape(-1).astype(jnp.uint32),
                                 interpret=interpret)
 
     cur = jax.lax.fori_loop(0, logb, tree_round, suf)
-    wsums = cur.reshape(3 * NLIMBS, Ge, B)[:, :, 0]      # [48, Ge]
+    wsums = cur.reshape(3 * NLIMBS, Ge, BL)[:, :, 0]     # [48, Ge]
     if T > 1:
         # fold the T-1 staggered partial sums back into each top window
         base = wsums[:, :G]

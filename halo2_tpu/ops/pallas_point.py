@@ -74,6 +74,18 @@ def _k_sub(df: DeviceField, a, b):
     return [jnp.where(use_dp, x, y) for x, y in zip(dp, out)]
 
 
+def _ksub_raw(a, b):
+    """Plain limb subtract a − b (no modular correction): valid when
+    a ≥ b, e.g. p − y for y ∈ (0, p)."""
+    out, borrow = [], None
+    for i in range(NLIMBS):
+        t = (a[i] + U32(1 << LIMB_BITS) - b[i]
+             - (borrow if borrow is not None else 0))
+        out.append(t & MASK)
+        borrow = U32(1) - (t >> LIMB_BITS)
+    return out, borrow
+
+
 def _k_mul15(df: DeviceField, a):
     """15·a mod p = 16a - a via four modular doublings and a subtract
     (b3 = 3·b = 15 for the Pasta curves; linear, so Montgomery-form safe)."""
@@ -179,6 +191,37 @@ def _rcb_add(df: DeviceField, X1, Y1, Z1, X2, Y2, Z2):
     return X3, Y3, Z3
 
 
+def _rcb_mixed_add(df: DeviceField, X1, Y1, Z1, X2, Y2):
+    """RCB15 Alg 8 (a = 0, b3 = 15) — mixed add with an AFFINE second
+    operand (Z2 = 1 implicit): 11 wide multiplies instead of 12, and the
+    b3·Z1Z2 term becomes the 15·Z1 add-chain. Complete for every
+    projective P1 (incl. identity) and every affine P2; affine arrays
+    cannot encode the identity, so callers mask identity bases off
+    (points_to_proj writes identity as (0, 1), which is not on either
+    Pasta curve)."""
+    add = lambda a, b: _k_add(df, a, b)
+    sub = lambda a, b: _k_sub(df, a, b)
+
+    A = _stackn([X1, Y1, add(X1, Y1), Y2, X2])
+    B = _stackn([X2, Y2, add(X2, Y2), Z1, Z1])
+    t0, t1, m2, yz, xzp = _unstackn(_k_mul(df, A, B), 5)
+    t3 = sub(sub(m2, t0), t1)       # X1Y2 + X2Y1
+    t4 = add(yz, Y1)                # Y1 + Y2 Z1
+    xz = add(xzp, X1)               # X1 + X2 Z1
+    s0 = add(add(t0, t0), t0)       # 3 X1X2
+    b3z = _k_mul15(df, Z1)          # b3 Z1 Z2 = 15 Z1
+    z3 = add(t1, b3z)
+    s1 = sub(t1, b3z)
+    y3 = _k_mul15(df, xz)
+    A2 = _stackn([t3, t4, y3, s1, z3, s0])
+    B2 = _stackn([s1, y3, s0, z3, t4, t3])
+    p0, p1, p2, p3, p4, p5 = _unstackn(_k_mul(df, A2, B2), 6)
+    X3 = sub(p0, p1)
+    Y3 = add(p2, p3)
+    Z3 = add(p4, p5)
+    return X3, Y3, Z3
+
+
 def _rcb_double(df: DeviceField, X, Y, Z):
     add = lambda a, b: _k_add(df, a, b)
     sub = lambda a, b: _k_sub(df, a, b)
@@ -244,6 +287,39 @@ def _padd_masked_kernel(df: DeviceField):
         X2, Y2, Z2 = _split(b_ref[:])
         X3, Y3, Z3 = _rcb_add(df, X1, Y1, Z1, X2, Y2, Z2)
         m = m_ref[:].astype(jnp.bool_)
+        _store(out_ref,
+               [jnp.where(m, u, v) for u, v in zip(X3, X1)],
+               [jnp.where(m, u, v) for u, v in zip(Y3, Y1)],
+               [jnp.where(m, u, v) for u, v in zip(Z3, Z1)])
+    return kernel
+
+
+def _pmixed_masked_kernel(df: DeviceField):
+    """out = mask ? A ± B_affine : A — the mixed-add bucket-accumulate
+    step (B is a [32, S, 128] affine batch; identity-coded (0, 1) bases
+    are masked off in-kernel; s_ref selects the NEGATED base per lane —
+    signed-digit Pippenger windows — via the free curve negation
+    (x, p−y); y=0 would be 2-torsion, which the prime-order Pasta curves
+    do not have)."""
+    def kernel(a_ref, b_ref, m_ref, s_ref, out_ref):
+        X1, Y1, Z1 = _split(a_ref[:])
+        bv = b_ref[:]
+        X2 = [bv[i] for i in range(NLIMBS)]
+        Y2 = [bv[NLIMBS + i] for i in range(NLIMBS)]
+        # identity base marker: X == 0 and Y == mont(1) (not a curve point)
+        r_limbs = int_to_limbs(df.r_mod_p)
+        x_zero = _k_is_zero(X2)
+        y_one = None
+        for i in range(NLIMBS):
+            eq = Y2[i] == jnp.uint32(int(r_limbs[i]))
+            y_one = eq if y_one is None else (y_one & eq)
+        ident_b = x_zero & y_one
+        neg = s_ref[:].astype(jnp.bool_)
+        p_tiles = [jnp.full_like(Y2[0], l) for l in df.p_limbs]
+        negY, _ = _ksub_raw(p_tiles, Y2)
+        Y2 = [jnp.where(neg, u, v) for u, v in zip(negY, Y2)]
+        X3, Y3, Z3 = _rcb_mixed_add(df, X1, Y1, Z1, X2, Y2)
+        m = m_ref[:].astype(jnp.bool_) & (~ident_b)
         _store(out_ref,
                [jnp.where(m, u, v) for u, v in zip(X3, X1)],
                [jnp.where(m, u, v) for u, v in zip(Y3, Y1)],
@@ -384,6 +460,32 @@ def _build_padd(modulus: int, m: int, interpret: bool, seg: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _build_pmixed(modulus: int, m: int, interpret: bool, sub: int = SUB):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.device import FP_DEV, FQ_DEV
+    df = FP_DEV if modulus == FP_DEV.spec.modulus else FQ_DEV
+
+    grid = (m // sub,)
+    pt_spec = pl.BlockSpec((3 * NLIMBS, sub, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((2 * NLIMBS, sub, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    fl_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    pt_shape = jax.ShapeDtypeStruct((3 * NLIMBS, m, LANES), jnp.uint32)
+    fn = pl.pallas_call(
+        _pmixed_masked_kernel(df),
+        out_shape=pt_shape,
+        grid=grid,
+        in_specs=[pt_spec, aff_spec, fl_spec, fl_spec],
+        out_specs=pt_spec,
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
 def _build_pdouble(modulus: int, m: int, interpret: bool, masked: bool,
                    sub: int = SUB):
     from jax.experimental import pallas as pl
@@ -505,6 +607,56 @@ def padd_masked_flat(df: DeviceField, a, b, mask, interpret=None):
         mk = jnp.concatenate([mk, jnp.zeros((padf,), jnp.uint32)])
     out = _build_padd(df.spec.modulus, m, False, seg=True)(
         _to3d(a_), _to3d(b_), mk.reshape(-1, LANES))
+    return _to2d(out, l)
+
+
+def pmixed_masked_flat(df: DeviceField, a, b_aff, mask, signs=None,
+                       interpret=None):
+    """out = mask ? a ± b_aff : a on batches — a [48, L] projective,
+    b_aff [32, L] affine (mixed RCB add, 11 wide muls). Identity-coded
+    (0, 1) affine columns pass the accumulator through unchanged;
+    signs [L] (0/1, optional) selects the negated base per lane."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if signs is None:
+        signs = jnp.zeros(mask.shape, jnp.uint32)
+    if interpret:
+        # jnp fallback: the full complete add at Z2 = mont(1) computes
+        # the identical values the mixed formulas do
+        from ..fields.device import fneg
+        r1 = jnp.asarray(int_to_limbs(df.r_mod_p), dtype=jnp.uint32)
+        X2 = jnp.transpose(b_aff[:NLIMBS])
+        Y2 = jnp.transpose(b_aff[NLIMBS:])
+        ident_b = jnp.all(X2 == 0, axis=-1) & jnp.all(Y2 == r1[None, :],
+                                                      axis=-1)
+        Y2 = jnp.where(signs.astype(jnp.bool_)[:, None],
+                       fneg(df, Y2), Y2)
+        Z2 = jnp.where(ident_b[:, None], jnp.zeros_like(X2),
+                       jnp.broadcast_to(r1[None, :], X2.shape))
+        added = _rcb_add_arrays(df, _split2d(a), (X2, Y2, Z2))
+        m = (mask.astype(jnp.bool_) & (~ident_b))[None, :]
+        return jnp.where(jnp.broadcast_to(m, a.shape), _join2d(*added), a)
+    ic = _ident_col_j(df.spec.modulus)
+    a_, l = _pad_flat(a, ic)
+    # pad affine columns with the identity marker (0, 1)
+    lb = b_aff.shape[1]
+    mtot = a_.shape[1]
+    if mtot != lb:
+        padc = np.zeros((2 * NLIMBS,), np.uint32)
+        padc[NLIMBS:] = int_to_limbs(df.r_mod_p)
+        pad = jnp.broadcast_to(jnp.asarray(padc)[:, None],
+                               (2 * NLIMBS, mtot - lb))
+        b_aff = jnp.concatenate([b_aff, pad], axis=1)
+    m = a_.shape[1] // LANES
+    padf = m * LANES - l
+    mk = mask.astype(jnp.uint32)
+    sg = signs.astype(jnp.uint32)
+    if padf:
+        mk = jnp.concatenate([mk, jnp.zeros((padf,), jnp.uint32)])
+        sg = jnp.concatenate([sg, jnp.zeros((padf,), jnp.uint32)])
+    out = _build_pmixed(df.spec.modulus, m, False)(
+        _to3d(a_), _to3d(b_aff), mk.reshape(-1, LANES),
+        sg.reshape(-1, LANES))
     return _to2d(out, l)
 
 

@@ -105,12 +105,8 @@ class ShardedNttPlan:
         # size-D DFT root: omega^C ; size-C NTT root: omega^D
         self.plan_rows = make_plan(df, ndev, pow(omega, self.C, p))
         self.plan_cols = make_plan(df, self.C, pow(omega, ndev, p))
-        # twiddles: w[c, k_r] = omega^(c * k_r), sharded by c blocks
-        tw = np.empty((n // ndev * ndev,), dtype=object)
-        # build per-device blocks lazily on device instead:
-        om = omega
-        # [D, C/D? ...] we need per-device [D(k_r), C/D? ] — build full
-        # [n] table omega^(c*k_r) is [C, D]; keep host ints (small pows)
+        # twiddles w[c, k_r] = omega^(c*k_r) are built lazily per device
+        # block by twiddle_block() (host int pows are cheap at D rows)
         self.omega = omega
 
     def twiddle_block(self, d: int) -> np.ndarray:

@@ -10,9 +10,12 @@ Reference: halo2_proofs/src/plonk/lookup/prover.rs —
 Verifier: lookup/verifier.rs:34-208.
 
 TPU notes: compression and the product assembly are device programs; the
-sort/histogram permutation is host-side for now (exact integer sort keyed
-on canonical values — device multi-limb sort is a perf follow-up); the
-grand product is an associative scan.
+permuted-pair construction replaces bigint comparisons with dense ranks
+(one lexsort over 4x64-bit canonical limbs) and runs the whole
+sort/first-occurrence/leftover-fill pipeline as array ops — on device
+(multi-key lax.sort + searchsorted) by default, with the numpy
+formulation as the oracle/fallback; the grand product is an associative
+scan.
 """
 from __future__ import annotations
 
@@ -118,6 +121,85 @@ def lookup_commit_permuted(argument: LookupArgument, cs: ConstraintSystem,
     )
 
 
+_PERMUTE_DEV_JIT: dict = {}
+
+
+def _permute_pair_device_fn(df, usable: int):
+    """Build the jitted device permuted-pair program for `usable` rows.
+
+    Same dense-rank pipeline as the numpy oracle below, formulated as
+    static-shape XLA ops so no column data ever leaves the device
+    (SURVEY.md §2 #21; lookup/prover.rs:563-647):
+      - one 9-operand lax.sort of the 2u-row union (8 packed 32-bit key
+        words MSB-first + original index payload) yields dense ranks,
+      - first-occurrence / leftover-fill run as cumsum/scatter/searchsorted
+        over i32 ranks,
+      - representatives gather back through the rank->first-position map.
+    Returns (permuted_input_mont, permuted_table_mont, ok) where ok is
+    the containment flag (the single scalar the host reads back)."""
+    from ..fields.device import from_mont, to_mont
+    u = usable
+    SENT = jnp.int32(2**30)
+
+    def impl(input_mont, table_mont):
+        in_can = from_mont(df, input_mont)      # [u, 16] canonical digits
+        tab_can = from_mont(df, table_mont)
+        union = jnp.concatenate([in_can, tab_can], axis=0)   # [2u, 16]
+        # pack 16x16-bit digits -> 8 u32 words, most-significant first
+        words = union[:, ::2] | (union[:, 1::2] << 16)       # [2u, 8] LE
+        keys = [words[:, j] for j in range(7, -1, -1)]
+        idx = jnp.arange(2 * u, dtype=jnp.int32)
+        *skeys, sidx = jax.lax.sort(keys + [idx], num_keys=8)
+        neq = jnp.zeros((2 * u,), jnp.bool_)
+        for kcol in skeys:
+            neq = neq | jnp.concatenate(
+                [jnp.zeros((1,), jnp.bool_), kcol[1:] != kcol[:-1]])
+        ranks_sorted = jnp.cumsum(neq.astype(jnp.int32))     # dense ranks
+        ranks = jnp.zeros((2 * u,), jnp.int32).at[sidx].set(ranks_sorted)
+        # rank -> first position in the union sort (representative limbs)
+        rank_start = jnp.full((2 * u,), 2 * u, jnp.int32).at[
+            ranks_sorted].min(idx)
+        sorted_union = jnp.take(union, sidx, axis=0)         # [2u, 16]
+
+        in_ranks = jax.lax.sort([ranks[:u]], num_keys=1)[0]  # sorted input
+        tab_ranks = jax.lax.sort([ranks[u:]], num_keys=1)[0]
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), in_ranks[1:] != in_ranks[:-1]])
+        uniq_q = jnp.where(first, in_ranks, SENT)
+        lo = jnp.searchsorted(tab_ranks, uniq_q, side="left").astype(
+            jnp.int32)
+        hi = jnp.searchsorted(tab_ranks, uniq_q, side="right").astype(
+            jnp.int32)
+        ok = jnp.all(~first | (hi > lo))   # every unique input in table
+        # drop ONE table occurrence per unique input (positions distinct)
+        removed = jnp.zeros((u,), jnp.bool_).at[
+            jnp.where(first, lo, u)].set(True, mode="drop")
+        leftover = jax.lax.sort(
+            [jnp.where(removed, SENT, tab_ranks)], num_keys=1)[0]
+        n_uniq = jnp.sum(first.astype(jnp.int32))
+        r_count = u - n_uniq
+        # j-th repeated row (ascending) takes leftover[r_count - 1 - j]
+        j = jnp.cumsum((~first).astype(jnp.int32)) - 1
+        lidx = jnp.clip(r_count - 1 - j, 0, u - 1)
+        perm_tab_ranks = jnp.where(first, in_ranks, jnp.take(leftover, lidx))
+
+        pi_can = jnp.take(sorted_union, jnp.take(rank_start, in_ranks),
+                          axis=0)
+        pt_can = jnp.take(sorted_union, jnp.take(rank_start, perm_tab_ranks),
+                          axis=0)
+        return to_mont(df, pi_can), to_mont(df, pt_can), ok
+
+    return jax.jit(impl)
+
+
+def _use_device_lookup_sort() -> bool:
+    import os
+    env = os.environ.get("HALO2_TPU_DEVICE_LOOKUP_SORT")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return True
+
+
 def permute_expression_pair(cs: ConstraintSystem, params, rng,
                             input_values: jnp.ndarray,
                             table_values: jnp.ndarray):
@@ -126,17 +208,40 @@ def permute_expression_pair(cs: ConstraintSystem, params, rng,
     with leftover table entries (in increasing order, popping repeated-row
     positions from the back).
 
-    Vectorized: 255-bit values are replaced by dense ranks (one lexsort
-    over the union's 4x64-bit canonical limbs), and the whole
-    sort/first-occurrence/leftover-fill pipeline runs as numpy array ops —
-    no Python-int sort on the prove path (the old object-array sort cost
-    O(n log n) bigint comparisons per lookup per proof)."""
+    Vectorized: 255-bit values are replaced by dense ranks and the whole
+    sort/first-occurrence/leftover-fill pipeline runs as array ops. The
+    default path is fully on-device (_permute_pair_device_fn — no column
+    readback, one containment-flag scalar crosses); the numpy
+    formulation below is the oracle and the HALO2_TPU_DEVICE_LOOKUP_SORT=0
+    fallback."""
     import os
     df = params.scalar_df
     fs = params.curve.scalar
     n = params.n
     blinding_factors = cs.blinding_factors()
     usable = n - (blinding_factors + 1)
+
+    if _use_device_lookup_sort():
+        key = (id(df), usable)
+        fn = _PERMUTE_DEV_JIT.get(key)
+        if fn is None:
+            fn = _permute_pair_device_fn(df, usable)
+            _PERMUTE_DEV_JIT[key] = fn
+        pi_body, pt_body, ok = fn(input_values[:usable],
+                                  table_values[:usable])
+        if not bool(ok):
+            raise ValueError(
+                "lookup input not contained in table "
+                "(ConstraintSystemFailure)")
+        # pi and pt draw separate blind batches; keep the reference's RNG
+        # call order (input blinds first, then table blinds)
+        pi_blinds = df.upload_canonical_u64(
+            native_rand_limbs(fs, rng, blinding_factors + 1))
+        pt_blinds = df.upload_canonical_u64(
+            native_rand_limbs(fs, rng, blinding_factors + 1))
+        pi = jnp.concatenate([pi_body, pi_blinds], axis=0)
+        pt = jnp.concatenate([pt_body, pt_blinds], axis=0)
+        return pi, pt
 
     in_limbs = df.from_mont_u64(np.asarray(input_values)[:usable])
     tab_limbs = df.from_mont_u64(np.asarray(table_values)[:usable])

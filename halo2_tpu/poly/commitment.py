@@ -648,41 +648,52 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         "HALO2_TPU_NATIVE_IPA_THRESHOLD",
         "8192" if _on_accel else str(1 << 18)))
     sess = None
-    gproj = None  # [48, l] Pallas projective G' (device-tail rounds)
+    gproj = None  # [48, n] Pallas projective G' (device rounds keep the
+    #               state at FULL width n; lanes ≥ 2·half are padding)
+    dev_lr = None  # round-j L/R pre-computed by the previous fold+LR
     cur = params.curve
     for j in range(k):
         half = 1 << (k - j - 1)
         if (sess is None and half <= native_threshold
                 and not os.environ.get("HALO2_TPU_NO_NATIVE")):
             if gproj is not None:
-                # device rounds ran first: hand the current G' to the
-                # native session as a Jacobian batch (X·Z, Y·Z², Z)
+                # device rounds ran first: hand the current width-2·half
+                # prefix of the G' state to the native session as a
+                # Jacobian batch (X·Z, Y·Z², Z)
                 bf = dev.base
-                X, Y, Z = gproj[:16].T, gproj[16:32].T, gproj[32:48].T
+                gs = gproj[:, :2 * half]
+                X, Y, Z = gs[:16].T, gs[16:32].T, gs[32:48].T
                 z2 = fmul(bf, Z, Z)
                 g_prime = JPoint(fmul(bf, X, Z), fmul(bf, Y, z2), Z)
                 gproj = None
+                p_prime = p_prime[:2 * half]
+                b = b[:2 * half]
             sess = _start_native_ipa(params, p_prime, b, g_prime,
                                      g_is_srs=(j == 0))
         if sess is not None:
             l_pt, r_pt, value_l, value_r = sess.round()
         else:
-            # device tail: fused Pallas L/R + inner products, then a
-            # GLV-ladder G' collapse at fold time (ops/ipa_device.py)
-            from ..ops.ipa_device import ipa_round_lr
+            # device tail: every round is ONE dispatch of a bucketed
+            # fold+next-L/R program (ops/ipa_device.py) — the state
+            # stays at full width n so ≤4 executables cover all rounds
             if gproj is None:
                 gproj = getattr(params, "_g_proj", None)
                 if gproj is None or gproj.shape[1] != 2 * half:
+                    from ..ops.msm import _jpoint_to_proj
                     if j == 0:
-                        from ..ops.msm import _jpoint_to_proj
                         gproj = _jpoint_to_proj(dev, params.g_dev)
                         if gproj.shape[1] == n:
                             params._g_proj = gproj
                     else:
-                        from ..ops.msm import _jpoint_to_proj
                         gproj = _jpoint_to_proj(dev, g_prime)
-            l_pt, r_pt, value_l, value_r = ipa_round_lr(
-                params, p_prime, b, gproj, half)
+            if dev_lr is None:
+                # device rounds always precede native ones (they cover
+                # the big halves), so entry is round 0 with width-n state
+                from ..ops.ipa_device import ipa_device_first_lr
+                l_pt, r_pt, value_l, value_r = ipa_device_first_lr(
+                    params, p_prime, b, gproj)
+            else:
+                l_pt, r_pt, value_l, value_r = dev_lr
         l_rand = fs.rand(rng)
         r_rand = fs.rand(rng)
         # L_j += [v_l z] U + [l_rand] W  (host: 2-term multiexp)
@@ -700,10 +711,10 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
         if sess is not None:
             sess.fold(u_j, u_j_inv)
         else:
-            from ..ops.ipa_device import ipa_fold
-            p_prime, b, gproj = ipa_fold(
-                params, p_prime, b,
-                gproj if j < k - 1 else None, half, u_j, u_j_inv)
+            from ..ops.ipa_device import ipa_device_fold_lr
+            p_prime, b, gproj, l2, r2, vl2, vr2 = ipa_device_fold_lr(
+                params, p_prime, b, gproj, half, u_j, u_j_inv)
+            dev_lr = (l2, r2, vl2, vr2)  # round j+1's L/R, pre-computed
 
         f = (f + l_rand * u_j_inv + r_rand * u_j) % fs.modulus
 
