@@ -143,9 +143,18 @@ def window_digits_signed(digits16: jnp.ndarray, c: int):
 
 
 def _use_signed() -> bool:
-    import os
-    return os.environ.get("HALO2_TPU_MSM_UNSIGNED", "") in ("", "0",
-                                                            "false")
+    # read ONCE per process: the flag participates in traced-program
+    # structure, and the jit caches key on shapes/statics only — a
+    # mid-process flip would silently reuse stale traces
+    global _SIGNED_MODE
+    if _SIGNED_MODE is None:
+        import os
+        _SIGNED_MODE = os.environ.get(
+            "HALO2_TPU_MSM_UNSIGNED", "") in ("", "0", "false")
+    return _SIGNED_MODE
+
+
+_SIGNED_MODE: bool | None = None
 
 
 def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,

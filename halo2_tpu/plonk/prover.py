@@ -223,12 +223,23 @@ def _gates_h_fold(pk, cs, df, rot_scale: int, ext_n: int, y: int, y_m,
         fn = pk._h_chunk_fns[ci]
         if fn is None:
             def make(chunk=chunk):
+                from .evaluation import (expression_share_counts,
+                                         fresh_memo)
+                tmpl = expression_share_counts(chunk)
+
                 def impl(h_prev, ym, ykm, adv, fxd, inst):
+                    # hash-cons INSIDE the trace too: repeated subtrees
+                    # (column/rotation queries above all) emit one op
+                    # each, keeping the traced graph at the distinct-
+                    # node count (Table16: 6,559 -> 931) so a whole-
+                    # gate-set chunk stays compilable
+                    memo = fresh_memo(tmpl)
                     local = None
                     for e in chunk:
                         t = evaluate_expression(
                             df, e, advice=list(adv), fixed=list(fxd),
-                            instance=list(inst), rot_scale=rot_scale)
+                            instance=list(inst), rot_scale=rot_scale,
+                            memo=memo)
                         if local is None:
                             local = t
                         else:

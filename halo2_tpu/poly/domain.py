@@ -84,7 +84,39 @@ def _ntt_dispatch(df: DeviceField, values, plan):
 # transforms (coeff_to_extended / extended_to_coeff) gated by it operate
 # on extended_n, up to quotient_poly_degree x larger, so raising this
 # knob moves transforms up to that factor bigger onto the host.
-NATIVE_NTT_MAX = int(_os.environ.get("HALO2_TPU_NATIVE_NTT_MAX", "16384"))
+# Resolution order: HALO2_TPU_NATIVE_NTT_MAX env > per-box measured
+# crossover (scripts/calibrate_ntt.py → .jax_cache/ntt_crossover.json)
+# > the 16384 default.
+_NATIVE_NTT_DEFAULT = 16384
+_CROSSOVER_CACHE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), ".jax_cache", "ntt_crossover.json")
+
+
+def native_ntt_max() -> int:
+    env = _os.environ.get("HALO2_TPU_NATIVE_NTT_MAX")
+    if env is not None:
+        return int(env)
+    global _NATIVE_NTT_MEASURED
+    if _NATIVE_NTT_MEASURED is None:
+        val = _NATIVE_NTT_DEFAULT
+        try:
+            import json
+            with open(_CROSSOVER_CACHE) as f:
+                data = json.load(f)
+            import jax
+            key = jax.default_backend()
+            if key in data:
+                val = int(data[key])
+        except Exception:
+            pass
+        _NATIVE_NTT_MEASURED = val
+    return _NATIVE_NTT_MEASURED
+
+
+_NATIVE_NTT_MEASURED = None
+# Back-compat alias for call sites/tests that read the module constant.
+NATIVE_NTT_MAX = _NATIVE_NTT_DEFAULT
 
 
 def _concrete(*arrays) -> bool:
@@ -184,7 +216,7 @@ class EvaluationDomain:
         return self._native_idx_cache
 
     def _use_native(self, *arrays) -> bool:
-        return (self.n <= NATIVE_NTT_MAX and _concrete(*arrays)
+        return (self.n <= native_ntt_max() and _concrete(*arrays)
                 and self._native_idx() is not None)
 
     def _native_l2c(self, col_u64: np.ndarray) -> None:

@@ -81,6 +81,7 @@ def main():
     omega = pow(fs.root_of_unity, 1 << (fs.s - k), fs.modulus)
 
     base = {}
+    rows = []
     for d in counts:
         if n % (d * d):
             print(f"D={d}: skipped (D^2 does not divide n)")
@@ -121,6 +122,33 @@ def main():
         print(f"D={d}: ntt {ntt_s*1e3:8.1f} ms (eff {eff_n:5.2f})   "
               f"msm {msm_s*1e3:8.1f} ms (eff {eff_m:5.2f})   "
               f"[vs D={d0}]", flush=True)
+        rows.append({"D": d, "ntt_s": round(ntt_s, 5),
+                     "msm_s": round(msm_s, 5),
+                     "ntt_eff": round(eff_n, 4),
+                     "msm_eff": round(eff_m, 4)})
+
+    # machine-readable artifact (MESH_SCALING_r{N}.json). On the virtual
+    # CPU mesh the D devices OVERSUBSCRIBE the same physical cores, so
+    # eff < 1 measures XLA-CPU scheduling + collective overhead, not
+    # chip scaling — the honest caveat the artifact must carry.
+    import json
+    ncpu = os.cpu_count() or 0
+    platform = jax.default_backend()
+    print(json.dumps({
+        "metric": f"mesh_scaling_k{k}",
+        "value": rows[-1]["msm_eff"] if rows else 0.0,
+        "unit": "efficiency_vs_D1",
+        "vs_baseline": 0.0,
+        "platform": platform,
+        "physical_cpus": ncpu,
+        "oversubscribed": platform == "cpu" and counts
+        and max(counts) > max(1, ncpu),
+        "note": ("virtual CPU mesh: devices share physical cores, so "
+                 "efficiency measures collective/scheduling overhead, "
+                 "not chip scaling" if platform == "cpu" else
+                 "real device mesh"),
+        "rows": rows,
+    }), flush=True)
 
 
 if __name__ == "__main__":
