@@ -139,10 +139,21 @@ def worker(k: int) -> None:
     # measured CPU baseline: this box's native OpenMP MSM at the same k
     cpu_pts_per_s = _native_msm_baseline(k)
     # point-adds/s from the Pippenger op count at the window size the
-    # measured kernel actually used: ~n adds per window
+    # measured kernel actually used: ~n adds per window. sol_fraction
+    # keeps the COMPLETE-add (14-mul) accounting so it stays comparable
+    # across rounds (the algorithmic work at reference-formula cost);
+    # vpu_fraction divides the ACTUAL mixed-add mul rate by the
+    # implemented CIOS kernel's real VPU roofline
+    # (parallel/profiling.modmul_vpu_ops_measured).
+    from halo2_tpu.ops.msm_pallas import _use_signed
+    from halo2_tpu.parallel.profiling import modmul_vpu_ops_measured
     windows = -(-256 // c)
     adds_per_point = windows + 1
     msm_modmuls = points_per_s * adds_per_point * RCB_MULS_PER_ADD
+    actual_muls_per_add = 11 if _use_signed() else RCB_MULS_PER_ADD
+    vpu_peak = 0.94e9 * 1024 / modmul_vpu_ops_measured()
+    vpu_fraction = (points_per_s * adds_per_point * actual_muls_per_add
+                    / vpu_peak)
 
     out = {
         "metric": f"msm_k{k}_points_per_s",
@@ -153,6 +164,7 @@ def worker(k: int) -> None:
         "baseline": "native_host_msm_measured",
         "baseline_points_per_s": round(cpu_pts_per_s, 2),
         "sol_fraction": round(msm_modmuls / sol, 4),
+        "vpu_fraction": round(vpu_fraction, 4),
         "extras": [],
     }
 

@@ -124,17 +124,20 @@ def _bits_msb(s: int, nb: int) -> np.ndarray:
 # through). The first round has a fold-free variant per top bucket.
 # Total: ≤ 4 executables per k instead of ~2k.
 
-TAIL_WF = int(__import__("os").environ.get("HALO2_TPU_IPA_TAIL_WF",
-                                           "2048"))
+def _tail_wf() -> int:
+    import os
+    return int(os.environ.get("HALO2_TPU_IPA_TAIL_WF", "2048"))
+
 
 _FOLDLR_JIT: dict = {}
 
 
 def bucket_widths(n: int) -> list[int]:
     """Descending power-of-4 ladder of bucket widths for a size-n open."""
+    tail = _tail_wf()
     ws = []
     w = n // 2
-    while w > TAIL_WF:
+    while w > tail:
         ws.append(w)
         w //= 4
     ws.append(max(w, 1))

@@ -24,11 +24,26 @@ def trace(log_dir: str = "/tmp/halo2_tpu_trace"):
 
 def modmul_speed_of_light(clock_hz: float = 0.94e9, lanes: int = 1024,
                           int_ops_per_mul: int = 600) -> float:
-    """Upper bound on 255-bit Montgomery multiplies/sec for one chip's
-    VPU: lanes × clock / int-ops-per-multiply. With 16×16-bit digits a
-    multiply costs ~256 lane-muls + ~150 reduction muls + carry adds
-    (~600 lane-ops total)."""
+    """OPTIMISTIC upper bound on 255-bit Montgomery multiplies/sec for
+    one chip's VPU: lanes × clock / int-ops-per-multiply, with the
+    600-op model counting only the essential multiplies+adds. This is
+    the cross-round comparison yardstick (BENCH sol_fraction) — see
+    modmul_vpu_ops_measured for the implemented kernel's REAL op count,
+    which bounds what kernel tuning alone can reach."""
     return clock_hz * lanes / int_ops_per_mul
+
+
+def modmul_vpu_ops_measured() -> int:
+    """Lane-op count of the implemented 16×16-limb CIOS kernel
+    (ops/pallas_point._k_mul): 256 digit products at ~5 ops each
+    (mul, mask, shift, two column adds) ≈ 1280, a 16-round word-by-word
+    reduction against the ~8 nonzero Pasta limbs ≈ 700, carry
+    propagation + conditional subtract ≈ 120 → ~2100 lane-ops per
+    modmul. The VPU ALU roofline for THIS kernel is therefore
+    clock·lanes/2100 ≈ 458M modmul/s — the round-4 MSM measured ~360M
+    effective (≈78%), which is why round-5 attacks modmuls-per-point
+    (mixed adds, signed windows) instead of kernel micro-tuning."""
+    return 2100
 
 
 def kernel_efficiency(measured_per_s: float, **sol_kwargs) -> float:

@@ -41,7 +41,13 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main():
-    if len(jax.devices()) < 2 and os.environ.get("HALO2_TPU_SCALING_CHILD") \
+    ndev = 2  # child mode: devices already forced below
+    if os.environ.get("HALO2_TPU_SCALING_CHILD") != "1":
+        try:
+            ndev = len(jax.devices())
+        except RuntimeError:
+            ndev = 0  # unreachable accelerator backend: fall to CPU mesh
+    if ndev < 2 and os.environ.get("HALO2_TPU_SCALING_CHILD") \
             != "1":
         # the axon sitecustomize pre-imports jax before our XLA_FLAGS
         # take effect (same dance as __graft_entry__.dryrun_multichip):

@@ -69,3 +69,40 @@ def test_device_ipa_matches_native_tail(monkeypatch):
 
     tr = TranscriptRead(PALLAS, device)
     verify_proof(params, vk, SingleVerifier(params), [[[out]]], tr)
+
+
+def test_device_ipa_multi_bucket_transition(monkeypatch):
+    """Force several fold+LR bucket widths in one open (tail width 64 at
+    K=9 gives buckets [256, 64]) so the bucket-transition masking/padding
+    is exercised; transcripts must still match the native tail."""
+    import random
+    from halo2_tpu.poly import Params
+    from halo2_tpu.transcript import TranscriptWrite, TranscriptRead
+    from halo2_tpu.plonk import (keygen_vk, keygen_pk, create_proof,
+                                 verify_proof, SingleVerifier)
+
+    K = 9
+    params = Params.new(PALLAS, K, use_cache=False)
+    fs = PALLAS.scalar
+    circuit = MulCircuit(7, 9)
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, vk, circuit)
+    out = fs.mul(7, 9)
+
+    def prove():
+        tw = TranscriptWrite(PALLAS)
+        create_proof(params, pk, [circuit], [[[out]]], random.Random(8),
+                     tw)
+        return tw.finalize()
+
+    native = prove()
+
+    monkeypatch.setenv("HALO2_TPU_NATIVE_IPA_THRESHOLD", "0")
+    monkeypatch.setenv("HALO2_TPU_IPA_TAIL_WF", "64")
+    from halo2_tpu.ops.ipa_device import bucket_widths
+    assert len(bucket_widths(1 << K)) >= 2  # multi-bucket shape forced
+    device = prove()
+    assert device == native
+
+    tr = TranscriptRead(PALLAS, device)
+    verify_proof(params, vk, SingleVerifier(params), [[[out]]], tr)
