@@ -59,6 +59,19 @@ tests/test_table16.py).
 Extracted from `halo2_tpu/gadgets/sha256/table16.py` by
 `scripts/gen_design_docs.py`.
 """,
+    "decomposition": """# Decomposition utilities — constraint system
+
+Running-sum decomposition (z_i = (z_{i-1} - k_i)/2^K window recurrence)
+and the 10-bit lookup range check with its short-range tail. Must match
+`/root/reference/book/src/design/gadgets/decomposition.md` and
+`/root/reference/halo2_gadgets/src/utilities/{decompose_running_sum,
+lookup_range_check}.rs`; parity pinned by the stored
+`vk_{short,lookup}_range_check*.rdata` artifacts
+(tests/test_gadget_vk_parity.py).
+
+Extracted from `halo2_tpu/gadgets/utilities/` by
+`scripts/gen_design_docs.py`.
+""",
     "pow5": """# Poseidon Pow5 chip — constraint system
 
 Poseidon permutation (x^5 S-box) with width-W state in W advice
@@ -119,6 +132,10 @@ def main() -> None:
                ("MerkleCRH layer configuration", MerkleCircuit)])
     write_doc("table16", [("Sha256Circuit", Sha256Circuit)])
     write_doc("pow5", [("Poseidon HashCircuit", HashCircuit)])
+    from test_utilities_gadgets import RangeCheckCircuit, RunningSumCircuit
+    write_doc("decomposition",
+              [("LookupRangeCheck configuration", RangeCheckCircuit),
+               ("Running-sum decomposition", RunningSumCircuit)])
 
 
 if __name__ == "__main__":

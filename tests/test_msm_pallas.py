@@ -161,3 +161,30 @@ def test_msm_pallas_skewed_scalars_scan_branch():
     for name, scalars in cases.items():
         got = msm_pallas(spec, df, _digits16(scalars), proj)
         assert got == spec.msm(scalars, pts), name
+
+
+def test_window_digits_signed_exact():
+    """Signed recode telescopes exactly: sum of ±abs·2^(c·w) recovers the
+    scalar, |digit| <= 2^(c-1), and the top window never recodes."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from halo2_tpu.ops.msm_pallas import window_digits_signed
+
+    rng = random.Random(5)
+    fs_mod = (1 << 255) - 19  # any <2^255 bound exercises the telescope
+    vals = [0, 1, fs_mod - 1, (1 << 255) - 1] + [
+        rng.randrange(1 << 255) for _ in range(60)]
+    d16 = jnp.asarray(np.stack([
+        np.array([(v >> (16 * i)) & 0xFFFF for i in range(16)], np.uint32)
+        for v in vals]))
+    for c in (4, 8, 9, 13):
+        absd, signs = window_digits_signed(d16, c)
+        a = np.asarray(absd).astype(np.int64)
+        s = np.asarray(signs).astype(np.int64)
+        assert int(a.max()) <= 1 << (c - 1)
+        W = a.shape[0]
+        for j, v in enumerate(vals):
+            rec = sum((1 - 2 * int(s[w, j])) * int(a[w, j]) << (c * w)
+                      for w in range(W))
+            assert rec == v, (c, j)
