@@ -145,13 +145,14 @@ def worker(k: int) -> None:
     # vpu_fraction divides the ACTUAL mixed-add mul rate by the
     # implemented CIOS kernel's real VPU roofline
     # (parallel/profiling.modmul_vpu_ops_measured).
-    from halo2_tpu.ops.msm_pallas import _use_signed
     from halo2_tpu.parallel.profiling import modmul_vpu_ops_measured
     windows = -(-256 // c)
     adds_per_point = windows + 1
     msm_modmuls = points_per_s * adds_per_point * RCB_MULS_PER_ADD
-    actual_muls_per_add = 11 if _use_signed() else RCB_MULS_PER_ADD
-    vpu_peak = 0.94e9 * 1024 / modmul_vpu_ops_measured()
+    # the round loop uses mixed (Z2=1) adds in BOTH digit modes
+    actual_muls_per_add = 11
+    vpu_peak = modmul_speed_of_light(
+        int_ops_per_mul=modmul_vpu_ops_measured())
     vpu_fraction = (points_per_s * adds_per_point * actual_muls_per_add
                     / vpu_peak)
 

@@ -8,8 +8,9 @@ G' = G'_lo + [u_j] G'_hi (`parallel_generator_collapse`).
 TPU formulation (ONE fused dispatch per round, ≤4 executables per k):
   - each round dispatches a bucketed fold+next-L/R program (see the
     "bucketed fold+LR rounds" section): fold p'/b at runtime width h,
-    collapse G' with a GLV-split ladder — u_j = s1 + s2*λ with
-    |s1|,|s2| ~ 2^65 and [λ]P = φ(P) = (ζ_p·x, y) (the curve
+    collapse G' with a GLV-split ladder — u_j = ±s1 ± s2*λ with
+    |s1|,|s2| < 2^130 (GLV_BITS iterations — half the 255-bit
+    double-and-add ladder) and [λ]P = φ(P) = (ζ_p·x, y) (the curve
     endomorphism the native library also exploits,
     native/pasta.cc:698-777) — then compute the NEXT round's Pippenger
     L/R window sums + inner products over the folded state, all inside
@@ -145,15 +146,22 @@ def bucket_widths(n: int) -> list[int]:
 
 
 def bucket_for(half: int, n: int) -> int:
+    wf = None
     for w in bucket_widths(n):
         if half <= w:
             wf = w
+    if wf is None:
+        raise ValueError(f"half={half} exceeds every bucket width of "
+                         f"a size-{n} open (max {n // 2})")
     return wf
 
 
 def _ipa_fold_lr_fn(params, n: int, wf: int, first: bool,
-                    interpret: bool):
-    """Build the bucket-Wf program. first=True skips the fold (round 0)."""
+                    interpret: bool, with_lr: bool = True):
+    """Build the bucket-Wf program. first=True skips the fold (round 0);
+    with_lr=False builds a fold-only variant (the hybrid path's LAST
+    device round — its next-round L/R would be discarded at the native
+    handoff, roughly a full round of MSM work)."""
     df = params.scalar_df
     dev = params.dev
     dfb = dev.base
@@ -225,6 +233,13 @@ def _ipa_fold_lr_fn(params, n: int, wf: int, first: bool,
                             jnp.broadcast_to(ident[:, None], (48, wf)))
             h2 = h >> 1
 
+        if not with_lr:
+            zp = jnp.zeros((n - wf, NLIMBS), jnp.uint32)
+            gp = jnp.broadcast_to(ident[:, None], (48, n - wf))
+            return (jnp.concatenate([p_f, zp], axis=0),
+                    jnp.concatenate([b_f, zp], axis=0),
+                    jnp.concatenate([g_f, gp], axis=1))
+
         # ---- next round's L/R over the folded width-h2 state ----
         d_all = from_mont(df, p_f)                      # [wf_lr, 16]
         hi2 = jnp.clip(idxw + h2, 0, wf_lr - 1)
@@ -277,28 +292,33 @@ def ipa_device_first_lr(params, p_prime, b, gproj):
 
 
 def ipa_device_fold_lr(params, p_prime, b, gproj, half: int, u_j: int,
-                       u_j_inv: int):
-    """Fold round at width `half` + the NEXT round's L/R, one dispatch.
-    Returns (p', b', g', l_pt, r_pt, value_l, value_r); the L/R values
-    are garbage on the final call (half == 1) — callers ignore them."""
+                       u_j_inv: int, with_lr: bool = True):
+    """Fold round at width `half` (+ the NEXT round's L/R unless
+    with_lr=False), one dispatch. Returns (p', b', g', l_pt, r_pt,
+    value_l, value_r) — the L/R slots are None for with_lr=False and
+    garbage on the final call (half == 1); callers ignore them."""
     df = params.scalar_df
     fs = params.curve.scalar
     n = p_prime.shape[0]
     wf = bucket_for(half, n)
     interpret = _interpret_default()
-    key = (params.curve.name, n, wf, "fold", interpret)
+    key = (params.curve.name, n, wf, "fold", with_lr, interpret)
     ent = _FOLDLR_JIT.get(key)
     if ent is None:
-        ent = _ipa_fold_lr_fn(params, n, wf, False, interpret)
+        ent = _ipa_fold_lr_fn(params, n, wf, False, interpret,
+                              with_lr=with_lr)
         _FOLDLR_JIT[key] = ent
     fn, c = ent
     s1, neg1, s2, neg2 = glv_split(fs, params.curve.name, u_j)
     bits = jnp.asarray(np.stack([_bits_msb(s1, GLV_BITS),
                                  _bits_msb(s2, GLV_BITS)]))
     negs = jnp.asarray(np.array([neg1, neg2], np.uint32))
-    p_n, b_n, g_n, wl, wr, vals = fn(p_prime, b, gproj, df.scalar(u_j),
-                                     df.scalar(u_j_inv), bits, negs,
-                                     jnp.int32(half))
+    args = (p_prime, b, gproj, df.scalar(u_j), df.scalar(u_j_inv), bits,
+            negs, jnp.int32(half))
+    if not with_lr:
+        p_n, b_n, g_n = fn(*args)
+        return p_n, b_n, g_n, None, None, None, None
+    p_n, b_n, g_n, wl, wr, vals = fn(*args)
     l_pt, r_pt, vl, vr = _lr_to_host(params, wl, wr, vals, c)
     return p_n, b_n, g_n, l_pt, r_pt, vl, vr
 

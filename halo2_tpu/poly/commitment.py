@@ -712,8 +712,14 @@ def ipa_create_proof(params: Params, rng, transcript, p_poly_mont: jnp.ndarray,
             sess.fold(u_j, u_j_inv)
         else:
             from ..ops.ipa_device import ipa_device_fold_lr
+            # skip the fused next-round L/R when that round will run in
+            # the native session (the hybrid handoff would discard it —
+            # a full round of MSM work)
+            next_native = (1 <= half // 2 <= native_threshold
+                           and not os.environ.get("HALO2_TPU_NO_NATIVE"))
             p_prime, b, gproj, l2, r2, vl2, vr2 = ipa_device_fold_lr(
-                params, p_prime, b, gproj, half, u_j, u_j_inv)
+                params, p_prime, b, gproj, half, u_j, u_j_inv,
+                with_lr=not next_native)
             dev_lr = (l2, r2, vl2, vr2)  # round j+1's L/R, pre-computed
 
         f = (f + l_rand * u_j_inv + r_rand * u_j) % fs.modulus

@@ -115,8 +115,6 @@ def native_ntt_max() -> int:
 
 
 _NATIVE_NTT_MEASURED = None
-# Back-compat alias for call sites/tests that read the module constant.
-NATIVE_NTT_MAX = _NATIVE_NTT_DEFAULT
 
 
 def _concrete(*arrays) -> bool:

@@ -47,8 +47,8 @@ def load_metrics(path: str) -> dict[str, dict]:
     def add(entry):
         if not isinstance(entry, dict) or "metric" not in entry:
             return
-        if entry.get("value"):
-            out[entry["metric"]] = entry
+        if isinstance(entry.get("value"), (int, float)):
+            out[entry["metric"]] = entry  # keep zeros: a collapse must FAIL
         for sub in entry.get("extras", []) or []:
             add(sub)
 
@@ -62,7 +62,12 @@ def compare(new: dict[str, dict], old: dict[str, dict],
     failures, warnings, lines = [], [], []
     for name in sorted(set(new) & set(old)):
         nv, ov = float(new[name]["value"]), float(old[name]["value"])
-        if nv <= 0 or ov <= 0:
+        if ov <= 0:
+            continue  # no usable reference point
+        if nv <= 0:
+            lines.append(f"{name:40s} {ov:>14.2f} -> {nv:>14.2f} "
+                         f"COLLAPSED")
+            failures.append((name, 0.0))
             continue
         unit = new[name].get("unit", "")
         lower_better = unit in LOWER_BETTER_UNITS
@@ -77,7 +82,7 @@ def compare(new: dict[str, dict], old: dict[str, dict],
             warnings.append((name, ratio))
     for name in sorted(set(old) - set(new)):
         lines.append(f"{name:40s} DROPPED (present in old, missing in new)")
-        warnings.append((name, 0.0))
+        failures.append((name, 0.0))  # a vanished metric must not pass
     return failures, warnings, lines
 
 

@@ -22,7 +22,7 @@ def test_two_process_mesh_prove_transcript_parity():
     out = subprocess.run(
         [sys.executable,
          os.path.join(REPO, "scripts", "mesh_multiprocess.py")],
-        env=env, capture_output=True, text=True, timeout=3000)
+        env=env, capture_output=True, text=True, timeout=6000)
     data = None
     for line in (out.stdout or "").splitlines():
         if line.startswith("{"):
