@@ -374,63 +374,60 @@ def fneg(df: DeviceField, a):
 
 def _mont_mul(df: DeviceField, a, b):
     """Montgomery product on stacked [..., 16] digit arrays: returns
-    a*b*R^{-1} mod p, fully reduced. Tensorized to keep the traced graph
-    small: one batched outer product, 32 sliced column-accumulations, a
-    16-round word-by-word reduction that skips the (many) zero limbs of the
-    Pasta moduli, then one carry propagation + conditional subtract."""
+    a*b*R^{-1} mod p, fully reduced. Formulated as a FLAT elementwise
+    dataflow over per-limb [...] arrays (no [..., 16, 16] outer-product
+    tensor, no dynamic-update-slice column array): every value is a
+    fusion-resident [...] vector, so XLA emits one (or a few) fused
+    kernels instead of materializing a [..., 33] accumulator between 32
+    sequential slice-updates — the dominant HBM traffic of the old
+    form (each .at[].add re-wrote the whole column array)."""
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     if a.shape[:-1] != batch:
         a = jnp.broadcast_to(a, batch + (NLIMBS,))
     if b.shape[:-1] != batch:
         b = jnp.broadcast_to(b, batch + (NLIMBS,))
-    # 1) outer product of digits: [..., 16, 16] uint32, exact.
-    prod = a[..., :, None] * b[..., None, :]
-    lo = prod & MASK
-    hi = prod >> LIMB_BITS
-    # 2) accumulate into 33 columns (<= 2^22 per column, no overflow).
-    cols = jnp.zeros(a.shape[:-1] + (2 * NLIMBS + 1,), dtype=U32)
+    al = _unstack(a)
+    bl = _unstack(b)
+    zero = jnp.zeros(batch, dtype=U32)
+    cols = [zero] * (2 * NLIMBS + 1)
     for i in range(NLIMBS):
-        cols = cols.at[..., i:i + NLIMBS].add(lo[..., i, :])
-        cols = cols.at[..., i + 1:i + 1 + NLIMBS].add(hi[..., i, :])
+        for j in range(NLIMBS):
+            prod = al[i] * bl[j]
+            cols[i + j] = cols[i + j] + (prod & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
     return _mont_reduce_cols(df, cols)
 
 
-def _mont_reduce_cols(df: DeviceField, cols: jnp.ndarray) -> jnp.ndarray:
-    """Steps 3-5 of the Montgomery product on an accumulated column
-    array [..., 33] (each column <= ~2^22): word-by-word reduction that
-    skips the zero limbs of the Pasta moduli, carry propagation,
-    conditional subtract. Shared by _mont_mul and the MXU
-    constant-multiply path (ops/mxu_field.py)."""
-    # 3) Montgomery reduction, one 16-bit digit per round.
+def _mont_reduce_cols(df: DeviceField, cols) -> jnp.ndarray:
+    """Steps 3-5 of the Montgomery product on accumulated columns
+    (a [..., 33] tensor or a list of 33 [...] arrays, each <= ~2^22):
+    word-by-word reduction that skips the zero limbs of the Pasta
+    moduli, carry propagation, conditional subtract. Shared by
+    _mont_mul and the MXU constant-multiply path (ops/mxu_field.py).
+    List-based like the Pallas kernel (ops/pallas_point._k_mul) so the
+    whole reduction is one fused elementwise graph."""
+    if not isinstance(cols, (list, tuple)):
+        cols = [cols[..., i] for i in range(2 * NLIMBS + 1)]
+    else:
+        cols = list(cols)
     n0 = jnp.uint32(df.n0)
     p = df.p_limbs
-    # contiguous runs of nonzero high limbs of p (for Pasta: j=2..7 and 15)
     nz = [j for j in range(1, NLIMBS) if p[j] != 0]
-    runs = []
-    for j in nz:
-        if runs and runs[-1][1] == j:
-            runs[-1] = (runs[-1][0], j + 1)
-        else:
-            runs.append((j, j + 1))
-    run_consts = [jnp.asarray(np.array([p[j] for j in range(lo_j, hi_j)],
-                                       dtype=np.uint32))
-                  for lo_j, hi_j in runs]
-    c = jnp.zeros(cols.shape[:-1], dtype=U32)
+    c = jnp.zeros_like(cols[0])
     for i in range(NLIMBS):
-        t = cols[..., i] + c
+        t = cols[i] + c
         m = (t * n0) & MASK
         mp0 = m * jnp.uint32(p[0])
         u = t + (mp0 & MASK)
         c = (u >> LIMB_BITS) + (mp0 >> LIMB_BITS)
-        for (lo_j, hi_j), pc in zip(runs, run_consts):
-            mp = m[..., None] * pc
-            cols = cols.at[..., i + lo_j:i + hi_j].add(mp & MASK)
-            cols = cols.at[..., i + lo_j + 1:i + hi_j + 1].add(
-                mp >> LIMB_BITS)
+        for j in nz:
+            prod = m * jnp.uint32(p[j])
+            cols[i + j] = cols[i + j] + (prod & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
     # 4) carry-propagate the high half.
     out = []
     for i in range(NLIMBS):
-        t = cols[..., NLIMBS + i] + c
+        t = cols[NLIMBS + i] + c
         out.append(t & MASK)
         c = t >> LIMB_BITS
     # 5) result < 2p: one conditional subtraction.
