@@ -357,6 +357,17 @@ class EvaluationDomain:
                 polys.append(jnp.asarray(native.u64_to_dev_mont(col)))
                 cosets.append(jnp.asarray(native.u64_to_dev_mont(ext)))
             return polys, cosets
+        # Shape canonicalization: the device paths compile one
+        # executable per column count m, and executable LOADS dominate
+        # fresh-process proves on the tunneled runtime — pad m to a
+        # power of two with zero columns (their transforms are zero;
+        # sliced off below) so phases with m=3 and m=4 share a program.
+        m_req = m
+        m_pad = 1 << max(0, (m - 1).bit_length())
+        if m < m_pad:
+            zero_col = jnp.zeros_like(values_list[0])
+            values_list = list(values_list) + [zero_col] * (m_pad - m)
+            m = m_pad
         if _use_mxu(self.n) or _use_mxu(self.extended_n):
             # four-step MXU path for whichever transform is big enough;
             # a few extra dispatches vs the fully-fused jit, but the
@@ -375,8 +386,8 @@ class EvaluationDomain:
             padded = jnp.concatenate([a, pad], axis=1)
             ntt_b = (ntt_mxu_b if _use_mxu(self.extended_n) else ntt_many)
             cosets = ntt_b(df, padded, self.plan_ext)
-            return ([polys[j] for j in range(m)],
-                    [cosets[j] for j in range(m)])
+            return ([polys[j] for j in range(m_req)],
+                    [cosets[j] for j in range(m_req)])
         import jax
         from ..ops.ntt import _plan_dev, _ntt_impl_b
         df = self.df
@@ -402,8 +413,8 @@ class EvaluationDomain:
         vals = jnp.stack(values_list, axis=0)
         polys, cosets = fn(vals, perm_i, perm_e, self._ifft_divisor,
                            self._coset_in, *tws_i, *tws_e)
-        return ([polys[j] for j in range(m)],
-                [cosets[j] for j in range(m)])
+        return ([polys[j] for j in range(m_req)],
+                [cosets[j] for j in range(m_req)])
 
     def lagrange_to_coeff(self, values: jnp.ndarray) -> jnp.ndarray:
         assert values.shape[0] == self.n
