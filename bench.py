@@ -119,8 +119,11 @@ def worker(k: int) -> None:
         for s in scalars]))
     proj = jax.device_put(points_to_proj(spec, df, pts))
 
-    # warm-up (compile) + correctness spot check
-    wsums, c = msm_pallas_window_sums_async(spec, df, digits, proj)
+    # warm-up (compile) + correctness spot check. aff=proj[:32]: bench
+    # points are affine with coded identity (points_to_proj), matching
+    # the production commit path (Params.commit_many) — mixed adds.
+    wsums, c = msm_pallas_window_sums_async(spec, df, digits, proj,
+                                            aff=proj[:32])
     res = host_horner_combine(spec, points_from_proj(spec, df, wsums), c)
     assert res is not None
 
@@ -128,7 +131,8 @@ def worker(k: int) -> None:
     t0 = time.perf_counter()
     outs = []
     for _ in range(iters):
-        wsums, c = msm_pallas_window_sums_async(spec, df, digits, proj)
+        wsums, c = msm_pallas_window_sums_async(spec, df, digits, proj,
+                                                aff=proj[:32])
         outs.append(wsums)
     results = [host_horner_combine(spec, points_from_proj(spec, df, w), c)
                for w in outs]

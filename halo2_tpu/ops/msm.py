@@ -167,13 +167,19 @@ def _proj_point_to_jpoint(cv: DeviceCurve, pt) -> JPoint:
 
 
 def msm_pallas_path(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
-                    pts: JPoint, device_combine: bool) -> JPoint:
-    """Pippenger on the Pallas point kernels (ops/msm_pallas.py)."""
+                    pts: JPoint, device_combine: bool,
+                    assume_affine: bool = False) -> JPoint:
+    """Pippenger on the Pallas point kernels (ops/msm_pallas.py).
+
+    assume_affine: caller guarantees pts are affine/identity (Z in
+    {0, mont 1}), e.g. SRS shards — enables mixed bucket adds."""
     from . import msm_pallas as mp
     proj = _jpoint_to_proj(cv, pts)
+    aff = proj[:32] if assume_affine else None
     if device_combine:
         wsums, c = mp.msm_pallas_window_sums(cv.spec, cv.base,
-                                             scalar_digits16, proj)
+                                             scalar_digits16, proj,
+                                             aff=aff)
         out = mp.device_horner_combine(cv.base, wsums, c)
         # projective [48] -> Jacobian JPoint: (XZ, YZ², Z) has the same
         # affine image; cheaper: x_j = X·Z, y_j = Y·Z², z_j = Z.
@@ -182,7 +188,7 @@ def msm_pallas_path(cv: DeviceCurve, scalar_digits16: jnp.ndarray,
         X, Y, Z = out[:16], out[16:32], out[32:48]
         z2 = fmul(f, Z, Z)
         return JPoint(fmul(f, X, Z), fmul(f, Y, z2), Z)
-    res = mp.msm_pallas(cv.spec, cv.base, scalar_digits16, proj)
+    res = mp.msm_pallas(cv.spec, cv.base, scalar_digits16, proj, aff=aff)
     return _proj_point_to_jpoint(cv, res)
 
 
@@ -227,7 +233,8 @@ PALLAS_MSM_THRESHOLD = int(_os.environ.get(
     "HALO2_TPU_PALLAS_MSM_THRESHOLD", "512"))
 
 
-def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
+def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint,
+        assume_affine: bool = False) -> JPoint:
     """MSM: scalars as canonical (non-Montgomery) 16-bit digit arrays
     [n, 16], points as a JPoint batch [n]. Returns a single JPoint."""
     concrete = _is_concrete(scalar_digits16, pts.x, pts.y, pts.z)
@@ -238,7 +245,8 @@ def msm(cv: DeviceCurve, scalar_digits16: jnp.ndarray, pts: JPoint) -> JPoint:
     scalar_digits16, pts = _pad_pow2(cv, scalar_digits16, pts)
     if scalar_digits16.shape[0] > PALLAS_MSM_THRESHOLD:
         return msm_pallas_path(cv, scalar_digits16, pts,
-                               device_combine=not concrete)
+                               device_combine=not concrete,
+                               assume_affine=assume_affine)
     if scalar_digits16.shape[0] <= SMALL_MSM_THRESHOLD:
         return msm_small(cv, scalar_digits16, pts)
     windows = scalar_window_digits(scalar_digits16)  # [32, n] LSB first

@@ -65,35 +65,33 @@ def _normalize_affine(df: DeviceField, pts: jnp.ndarray):
     return aff, proj
 
 
+# Per-round fixed overhead in lane-equivalents: on the tunneled v5e a
+# masked-add round costs ~(OVH + lanes) lane-units regardless of width
+# (kernel launch + the gather op). Calibrated from the on-chip c-sweep
+# at k=16 (scripts/msm_sweep_c.py); it pushes the optimum toward larger
+# windows (fewer, wider rounds) than pure lane-add counting would.
+_ROUND_OVERHEAD_LANES = 8192
+
+
 def pick_c(n: int) -> int:
     """Window size by explicit cost model of the round-loop schedule.
 
-    The bucket-accumulation loop runs `max run length` rounds of one
-    [48, (W+T−1)·B]-lane masked add. The top window only spans
-    `255 − c·(W−1)` bits (scalars < 2^255), so its runs would be
-    n/2^topbits; the T-way top-window split in
-    msm_pallas_window_sums_many rebalances them to uniform length at the
-    price of (T−1)·B extra lanes — the model charges both, plus the
-    2·log2(B) suffix/tree rounds. Minimizing lands on c=8 at practical
-    sizes (256 ≡ 0 mod c keeps the top window full-width, T=4 on the
-    254.5-bit Pasta moduli)."""
+    The bucket-accumulation loop runs `max run length` rounds
+    (≈ n/BL after top-window slotting — see
+    msm_pallas_window_sums_many) plus 2·log2(BL) suffix/tree reduction
+    rounds, each one [48, W·BL]-lane masked add. Each round also pays a
+    fixed launch/gather overhead (_ROUND_OVERHEAD_LANES), so the model
+    is rounds × (overhead + lanes), which favors fewer/wider rounds
+    than pure lane-add counting."""
     best_c, best_cost = 4, float("inf")
     signed = _use_signed()
     for c in range(4, 17):
         W = -(-256 // c)
-        if signed:
-            # signed windows: half the buckets, no top-split row
-            BL = 1 << (c - 1)
-            per_bucket = n / BL
-            maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
-            cost = (maxrun + 2 * (c - 1)) * W * BL
-        else:
-            B = 1 << c
-            topbits = max(255 - c * (W - 1), 1)
-            T = max(1, B >> min(topbits, c))
-            per_bucket = n / B
-            maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
-            cost = (maxrun + 2 * c) * (W + T - 1) * B
+        BL = 1 << (c - 1) if signed else 1 << c
+        per_bucket = n / BL
+        maxrun = per_bucket + 3.0 * math.sqrt(per_bucket) + 4.0
+        rounds = maxrun + 2 * int(math.ceil(math.log2(BL)))
+        cost = rounds * (W * BL + _ROUND_OVERHEAD_LANES)
         if cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -123,22 +121,45 @@ def window_digits_signed(digits16: jnp.ndarray, c: int):
     """[n, 16] canonical digits -> signed c-bit windows: (abs [W, n] in
     [0, 2^(c-1)], sign [W, n] 0/1). Signed digits halve the bucket count
     (abs value indexes the bucket, the sign rides the free curve
-    negation) AND kill the top-window skew: v_top ≤ 2^topbits ≤ 2^(c-1)
-    never recodes, so no T-way split row is needed. Exact by the carry
-    telescope: Σ ±a_w 2^{cw} = value (final carry provably 0 for
-    values < 2^255 since c·W ≥ 256)."""
+    negation). The top window still skews (it spans only 255 − c·(W−1)
+    bits of entropy, recoded or not) — handled by in-row slotting in
+    msm_pallas_window_sums_many. Exact by the carry telescope:
+    Σ ±a_w 2^{cw} = value (final carry provably 0 for values < 2^255
+    since c·W ≥ 256).
+
+    Carries are computed in CLOSED FORM rather than by the sequential
+    per-window chain (which emitted W dependent ops — measured 26 ms at
+    n=2^16): carry into window w is [(v mod 2^{cw}) > 2^{cw-1}], i.e.
+    bit cw−1 of v AND (low cw−1 bits nonzero); a_w = d_w + carry_w −
+    2^c·carry_{w+1} then satisfies |a_w| ≤ 2^{c-1} (ties at exactly
+    half recode to −half + carry; either choice is a valid signed
+    digit, the group total is identical)."""
     d = window_digits(digits16, c)            # [W, n] unsigned
     W = d.shape[0]
-    half = jnp.uint32(1 << (c - 1))
     full = jnp.uint32(1 << c)
+    # prefix-nonzero over the 16 u16 limbs: pnz[li] = any limb < li != 0
+    limb_nz = digits16 != 0                   # [n, 16]
+    pnz = [jnp.zeros(digits16.shape[:1], jnp.bool_)]
+    for li in range(1, 17):
+        pnz.append(pnz[-1] | limb_nz[:, li - 1])
+
+    def carry_into(w: int) -> jnp.ndarray:
+        t = c * w                             # boundary bit index
+        if t == 0:
+            return jnp.zeros(digits16.shape[:1], jnp.uint32)
+        if t - 1 >= 256:
+            return jnp.zeros(digits16.shape[:1], jnp.uint32)
+        li, b = (t - 1) // 16, (t - 1) % 16
+        bit = (digits16[:, li] >> b) & 1
+        low_nz = pnz[li] | ((digits16[:, li] & ((1 << b) - 1)) != 0)
+        return bit & low_nz.astype(jnp.uint32)
+    carries = [carry_into(w) for w in range(W + 1)]
     absd, signs = [], []
-    carry = jnp.zeros_like(d[0])
     for w in range(W):
-        v = d[w] + carry
-        neg = v > half
-        absd.append(jnp.where(neg, full - v, v))
-        signs.append(neg.astype(jnp.uint32))
-        carry = neg.astype(jnp.uint32)
+        v = d[w] + carries[w]
+        neg = carries[w + 1]
+        absd.append(jnp.where(neg.astype(jnp.bool_), full - v, v))
+        signs.append(neg)
     return jnp.stack(absd, axis=0), jnp.stack(signs, axis=0)
 
 
@@ -160,20 +181,23 @@ _SIGNED_MODE: bool | None = None
 def msm_pallas_window_sums(cv_spec: CurveSpec, df: DeviceField,
                            digits16: jnp.ndarray, pts: jnp.ndarray,
                            c: int | None = None,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           aff: jnp.ndarray | None = None):
     """Device part of the MSM: returns ([48, W] window sums, c).
 
     pts: [48, n] projective batch; digits16: [n, 16] canonical scalars.
+    aff: see msm_pallas_window_sums_many.
     """
     out, c = msm_pallas_window_sums_many(
-        cv_spec, df, digits16[None], pts, c, interpret=interpret)
+        cv_spec, df, digits16[None], pts, c, interpret=interpret, aff=aff)
     return out[0], c
 
 
 def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
                                 digits16: jnp.ndarray, pts: jnp.ndarray,
                                 c: int | None = None,
-                                interpret: bool | None = None):
+                                interpret: bool | None = None,
+                                aff: jnp.ndarray | None = None):
     """m MSMs over SHARED bases in one device program: returns
     ([m, 48, W] window sums, c).
 
@@ -182,7 +206,16 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     simply widen the lane axis of every masked-add round — the round
     count stays ≈ n/B + slack, so committing a whole phase's columns
     costs barely more wall-clock than one column (this is how prover
-    phases with many columns become a single dispatch)."""
+    phases with many columns become a single dispatch).
+
+    aff: optional [32, n] affine batch with identity coded (0, mont 1).
+    When the CALLER knows the bases are affine (SRS uploads are — see
+    DeviceCurve.points_to_device: Z ∈ {0, mont 1} with identity
+    (0, mont 1, 0), so `proj[:32]` IS this coding for free), passing it
+    switches the round loop to mixed (Z2=1) adds (~3 fewer wide muls per
+    add). Without it the loop uses full projective adds — an in-graph
+    batch inversion was measured strictly worse (the one-element Fermat
+    tail serializes ~255 tiny kernels ≈ 70 ms per dispatch at k=16)."""
     m, n = digits16.shape[0], digits16.shape[1]
     if c is None:
         c = pick_c(n)
@@ -190,10 +223,8 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     W = -(-256 // c)
     G = m * W  # independent (scalar-set, window) rows
 
-    # normalize bases once: mixed (Z2=1) adds in the round loop save ~3
-    # wide muls per add; the segmented-scan fallback keeps the projective
-    # form (its partial sums are not affine)
-    pts_aff, pts = _normalize_affine(df, pts)
+    mixed = aff is not None
+    pts_aff = aff
 
     signed = _use_signed()
     if signed:
@@ -232,7 +263,11 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
         return lo
 
     starts = _bisect(leq=False)
-    ends = _bisect(leq=True)
+    # ends come free: runs are contiguous in the sorted row, so the end
+    # of bucket lane j is the start of lane j+1 (the last lane's end is
+    # n — digits never exceed the top bucket). This halves the bisect.
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((G, 1), n, starts.dtype)], axis=1)
     counts = (ends - starts).astype(jnp.int32)           # [G, BL]
     if signed:
         eff_counts = counts  # key 0 excluded by the bucket range itself
@@ -240,70 +275,154 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
         # never loop for bucket-0 runs (digit 0 contributes nothing)
         eff_counts = counts.at[:, 0].set(0)
 
-    # Top-window skew split (UNSIGNED path only — signed windows never
-    # skew: v_top ≤ 2^(c-1)): scalars < q < 2^255 leave the top window
-    # only `topbits` of entropy, so its bucket runs are ~B/2^topbits
-    # times longer than the uniform windows' — without this the round
-    # loop spends most of its iterations on a single window's tails
-    # (measured 1113 rounds instead of ~310 at n=2^16, c=8 on Vesta).
-    # Each top-window row is split into T sub-rows covering staggered
-    # run slices; their partial window sums add back at the end
-    # (summation-by-parts is linear in the bucket sums).
-    top_range = ((cv_spec.scalar.modulus - 1) >> (c * (W - 1))) + 1
-    T = 1 if signed else max(
-        1, B // (1 << max(1, top_range.bit_length() - 1)))
-    row_map = np.arange(G, dtype=np.int32)
-    if T > 1:
-        top_rows = np.arange(W - 1, G, W, dtype=np.int32)   # [m]
-        extra = np.repeat(top_rows, T - 1)                  # [m*(T-1)]
-        row_map = np.concatenate([row_map, extra])
-        sub = np.zeros(row_map.shape[0], dtype=np.int32)
-        sub[G:] = np.tile(np.arange(1, T, dtype=np.int32), m)
-        is_top = np.zeros(row_map.shape[0], dtype=bool)
-        is_top[top_rows] = True
-        is_top[G:] = True
-        rm = jnp.asarray(row_map)
-        starts_e = starts[rm]
-        counts_e = eff_counts[rm]
-        order_e = order[rm]
-        # slice length per (row, bucket): ceil(count / T) on top rows
-        Lb = jnp.where(jnp.asarray(is_top)[:, None],
-                       (counts_e + (T - 1)) // T, counts_e)
-        off = jnp.asarray(sub)[:, None] * Lb
-        starts_e = starts_e + off
-        counts_e = jnp.clip(counts_e - off, 0, Lb)
+    # Top-window skew — in-row slotting: scalars < q < 2^255 leave the
+    # top window only `topbits` of entropy, so its bucket runs are
+    # ~BL/2^topbits times longer than the uniform windows' and only the
+    # first ~2^topbits bucket lanes are live — without treatment the
+    # round loop spends most of its iterations on one window's tails
+    # (or tips into the segmented-scan branch: measured 415 ms vs
+    # ~60 ms at k=16). Instead of T extra split ROWS (the round-4
+    # scheme — it multiplied lanes by T with mostly-dead buckets:
+    # 92 rows / 23K lanes at k=16 c=9 signed), repurpose the DEAD lanes
+    # of the top row itself: lane u serves bucket u//S (+bucket0),
+    # slice u%S of that bucket's run, S = BL/L_pow staggered slices.
+    # Every lane is live, run lengths return to ~n/BL, and the row/lane
+    # geometry is unchanged. The serial branch un-slots afterwards
+    # (slice tree-add + one lane gather) before the generic
+    # summation-by-parts; the scan branch never slots.
+    maxv = int((cv_spec.scalar.modulus - 1) >> (c * (W - 1))) + 1
+    # +1 below: a signed-recode carry can push the top digit one past
+    # maxv; L_pow must cover bucket lane (maxv + 1) - bucket0
+    L_pow = 1 << max(1, (maxv + 1 - bucket0).bit_length())
+    S = max(1, BL // L_pow)
+    top_rows = np.arange(W - 1, G, W, dtype=np.int32)    # [m]
+    is_top = np.zeros(G, dtype=bool)
+    is_top[top_rows] = True
+    if S > 1:
+        lane = np.arange(BL)
+        sb = jnp.asarray(lane // S, dtype=jnp.int32)   # source bucket lane
+        ss = jnp.asarray(lane % S, dtype=jnp.int32)    # slice index
+        g_starts = jnp.take(starts, sb, axis=1)
+        g_counts = jnp.take(eff_counts, sb, axis=1)
+        Ls = (g_counts + (S - 1)) // S                 # slice length
+        itop = jnp.asarray(is_top)[:, None]
+        starts_e = jnp.where(itop, g_starts + ss[None, :] * Ls, starts)
+        counts_e = jnp.where(itop,
+                             jnp.clip(g_counts - ss[None, :] * Ls, 0, Ls),
+                             eff_counts)
     else:
-        starts_e, counts_e, order_e = starts, eff_counts, order
-    Ge = starts_e.shape[0]
+        starts_e, counts_e = starts, eff_counts
+    order_e, sg_e = order, sg
     maxc = jnp.max(counts_e)
 
     ident_col = _ident_col_j(df.spec.modulus)
-    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, Ge * BL))
+    acc0 = jnp.broadcast_to(ident_col[:, None], (3 * NLIMBS, G * BL))
 
     starts_i = starts_e.astype(jnp.int32)
 
+    def _add_round(acc, gi, valid, sig):
+        """One masked bucket-add round: gather the points at flat base
+        indices `gi` and fold them into the [48, G·BL] accumulator."""
+        if mixed:
+            P = jnp.take(pts_aff, gi, axis=1)
+            return pmixed_masked_flat(df, acc, P,
+                                      valid.astype(jnp.uint32),
+                                      signs=sig, interpret=interpret)
+        P = jnp.take(pts, gi, axis=1)                    # [48, lanes]
+        if signed:
+            # −P = (X, −Y, Z): one elementwise negate on the gathered
+            # copy (each point carries a different sign per window, so
+            # pre-negating the base array can't work)
+            from ..fields.device import fneg
+            Yt = jnp.transpose(P[NLIMBS:2 * NLIMBS])
+            Yt = jnp.where(sig.astype(jnp.bool_)[:, None],
+                           fneg(df, Yt), Yt)
+            P = jnp.concatenate(
+                [P[:NLIMBS], jnp.transpose(Yt), P[2 * NLIMBS:]],
+                axis=0)
+        return padd_masked_flat(df, acc, P, valid.astype(jnp.uint32),
+                                interpret=interpret)
+
     def _serial_runs(_):
         """One add per (row, bucket) run member per round; rounds = max
-        run length. Optimal for near-uniform digit distributions
-        (runs ≈ n/BL)."""
-        def cond(state):
+        run length (≈ n/BL for near-uniform digits after slotting).
+
+        The first R_static rounds read PRECOMPUTED gather indices /
+        signs / valid bits — three big gathers up front instead of
+        three small dependent [G, BL] gathers per round (whose per-op
+        launch overhead dominated the loop: measured 83 ms vs 35 ms at
+        k=16 c=11). A while_loop tail with in-loop gathers covers the
+        rare runs longer than R_static (moderately skewed inputs below
+        the segmented-scan threshold), so results stay exact for every
+        input."""
+        mean_run = max(1, n // BL)
+        R_static = int(min(n, mean_run + 4 * math.isqrt(mean_run) + 16))
+        rr = jnp.arange(R_static, dtype=jnp.int32)
+        idx_all = jnp.minimum(starts_i[None] + rr[:, None, None], n - 1)
+        g_off = (jnp.arange(G, dtype=jnp.int32) * n)[None, :, None]
+        gidx_all = jnp.take(order_e.reshape(-1),
+                            (idx_all + g_off).reshape(-1)
+                            ).reshape(R_static, G * BL)
+        valid_all = (rr[:, None, None] < counts_e[None]).reshape(
+            R_static, G * BL)
+        sig_all = (jnp.take(sg_e.reshape(-1),
+                            (gidx_all.reshape(R_static, G, BL) + g_off
+                             ).reshape(-1)).reshape(R_static, G * BL)
+                   if signed else None)
+
+        def bodyA(r, acc):
+            return _add_round(acc, gidx_all[r], valid_all[r],
+                              sig_all[r] if signed else None)
+
+        acc = jax.lax.fori_loop(0, jnp.minimum(maxc, R_static), bodyA,
+                                acc0)
+
+        def condB(state):
             r, _ = state
             return r < maxc
 
-        def body(state):
+        def bodyB(state):
             r, acc = state
-            idx = jnp.minimum(starts_i + r, n - 1)       # [Ge, BL]
-            valid = (r < counts_e).reshape(-1)           # [Ge*BL]
+            idx = jnp.minimum(starts_i + r, n - 1)       # [G, BL]
+            valid = (r < counts_e).reshape(-1)           # [G*BL]
             gidx = jnp.take_along_axis(order_e, idx, axis=1)
-            P = jnp.take(pts_aff, gidx.reshape(-1), axis=1)  # [32, Ge*BL]
-            sig = (jnp.take_along_axis(sg, gidx, axis=1).reshape(-1)
+            sig = (jnp.take_along_axis(sg_e, gidx, axis=1).reshape(-1)
                    if signed else None)
-            acc = pmixed_masked_flat(df, acc, P,
-                                     valid.astype(jnp.uint32),
-                                     signs=sig, interpret=interpret)
-            return r + 1, acc
+            return r + 1, _add_round(acc, gidx.reshape(-1), valid, sig)
 
-        _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+        _, acc = jax.lax.while_loop(condB, bodyB,
+                                    (jnp.int32(R_static), acc))
+
+        if S > 1:
+            # un-slot the top rows: tree-add the S slices of each bucket
+            # into slice 0 (log2 S masked rounds), then move bucket j's
+            # total from lane j*S to lane j and fill lanes >= L_pow with
+            # identity so the generic summation-by-parts sees the plain
+            # bucket-ordered layout
+            lane_mod = (np.arange(BL) % S).astype(np.int32)
+            trow = np.repeat(is_top[:, None], BL, axis=1)
+            h = S
+            while h > 1:
+                h >>= 1
+                acc3 = acc.reshape(3 * NLIMBS, G, BL)
+                shifted = jnp.roll(acc3, -h, axis=2).reshape(
+                    3 * NLIMBS, -1)
+                mask = jnp.asarray(trow & (lane_mod < h)[None, :])
+                acc = padd_masked_flat(df, acc, shifted,
+                                       mask.reshape(-1).astype(jnp.uint32),
+                                       interpret=interpret)
+            perm = np.arange(BL, dtype=np.int32)
+            perm[:L_pow] = np.arange(L_pow, dtype=np.int32) * S
+            gidx2 = np.tile(np.arange(BL, dtype=np.int32), (G, 1))
+            gidx2[is_top] = perm
+            gflat = (np.arange(G, dtype=np.int32)[:, None] * BL
+                     + gidx2).reshape(-1)
+            acc = jnp.take(acc, jnp.asarray(gflat), axis=1)
+            kill = np.zeros((G, BL), dtype=bool)
+            kill[is_top] = np.arange(BL)[None, :] >= L_pow
+            idw = jnp.broadcast_to(ident_col[:, None], acc.shape)
+            acc = jnp.where(jnp.asarray(kill.reshape(-1))[None, :],
+                            idw, acc)
         return acc
 
     def _segmented_scan(_):
@@ -353,15 +472,9 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
         nonempty = (eff_counts > 0).reshape(-1)
         idw = jnp.broadcast_to(ident_col[:, None], sums.shape)
         sums = jnp.where(nonempty[None, :], sums, idw)
-        if Ge > G:
-            # expand to the split-row layout: extra sub-rows contribute
-            # identity (their work is already in the base rows here)
-            pad = jnp.broadcast_to(ident_col[:, None],
-                                   (3 * NLIMBS, (Ge - G) * BL))
-            sums = jnp.concatenate([sums, pad], axis=1)
         return sums
 
-    # Crossover: serial cost ≈ maxrun·(Ge·BL) lane-adds, scan cost ≈
+    # Crossover: serial cost ≈ maxrun·(G·BL) lane-adds, scan cost ≈
     # ceil(log2 maxrun)·(G·n). Pick per input at runtime — one compiled
     # graph, lax.cond executes a single branch on TPU.
     skew_threshold = jnp.int32(max(2 * c * ((n // BL) + 1) + 2 * c, 64))
@@ -376,52 +489,43 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     # bucket j+bucket0, so Σ_j suf[j] = Σ_b (b − bucket0 + 1)·S_b; for
     # the signed layout (bucket0=1, no lane 0 waste) that IS Σ b·S_b,
     # for the unsigned layout the bucket-0 lane is dropped below.
-    bidx = jnp.arange(BL, dtype=jnp.int32)
-
-    def suffix_round(i, suf):
-        s = jnp.int32(1) << i
-        suf3 = suf.reshape(3 * NLIMBS, Ge, BL)
-        shifted = jnp.roll(suf3, -s, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx + s < BL)[None, :], (Ge, BL))
-        return padd_masked_flat(df, suf, shifted,
-                                mask.reshape(-1).astype(jnp.uint32),
-                                interpret=interpret)
-
+    bidx = np.arange(BL)
     logb = int(math.ceil(math.log2(BL)))
-    suf = jax.lax.fori_loop(0, logb, suffix_round, acc)
+
+    # Unrolled (logb is small and static): shifts and masks become
+    # compile-time constants instead of per-iteration index math.
+    suf = acc
+    for i in range(logb):
+        sft = 1 << i
+        suf3 = suf.reshape(3 * NLIMBS, G, BL)
+        shifted = jnp.roll(suf3, -sft, axis=2).reshape(3 * NLIMBS, -1)
+        mask = jnp.asarray(
+            np.broadcast_to(bidx + sft < BL, (G, BL)).reshape(-1)
+            .astype(np.uint32))
+        suf = padd_masked_flat(df, suf, shifted, mask,
+                               interpret=interpret)
 
     if not signed:
         # drop bucket 0 (its suffix is the full per-window total, not
         # b·S_b)
-        suf3 = suf.reshape(3 * NLIMBS, Ge, BL)
+        suf3 = suf.reshape(3 * NLIMBS, G, BL)
         ident_w = jnp.broadcast_to(ident_col[:, None, None],
-                                   (3 * NLIMBS, Ge, 1))
+                                   (3 * NLIMBS, G, 1))
         suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
             3 * NLIMBS, -1)
 
-    # tree sum over the bucket axis -> [48, Ge] (kept at full width with a
-    # shrinking mask so one traced body serves every level)
-    def tree_round(i, cur):
-        half = jnp.int32(BL) >> (i + 1)
-        cur3 = cur.reshape(3 * NLIMBS, Ge, BL)
+    # tree sum over the bucket axis -> [48, G] (unrolled halving)
+    cur = suf
+    for i in range(logb):
+        half = BL >> (i + 1)
+        cur3 = cur.reshape(3 * NLIMBS, G, BL)
         shifted = jnp.roll(cur3, -half, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.broadcast_to((bidx < half)[None, :], (Ge, BL))
-        return padd_masked_flat(df, cur, shifted,
-                                mask.reshape(-1).astype(jnp.uint32),
-                                interpret=interpret)
-
-    cur = jax.lax.fori_loop(0, logb, tree_round, suf)
-    wsums = cur.reshape(3 * NLIMBS, Ge, BL)[:, :, 0]     # [48, Ge]
-    if T > 1:
-        # fold the T-1 staggered partial sums back into each top window
-        base = wsums[:, :G]
-        ext = wsums[:, G:].reshape(3 * NLIMBS, m, T - 1)
-        tr = jnp.asarray(top_rows)
-        topsum = base[:, tr]                             # [48, m]
-        for t in range(T - 1):
-            topsum = padd_flat(df, topsum, ext[:, :, t],
+        mask = jnp.asarray(
+            np.broadcast_to(bidx < half, (G, BL)).reshape(-1)
+            .astype(np.uint32))
+        cur = padd_masked_flat(df, cur, shifted, mask,
                                interpret=interpret)
-        wsums = base.at[:, tr].set(topsum)
+    wsums = cur.reshape(3 * NLIMBS, G, BL)[:, :, 0]      # [48, G]
     return jnp.moveaxis(wsums.reshape(3 * NLIMBS, m, W), 1, 0), c
 
 
@@ -501,15 +605,16 @@ def device_horner_combine(df: DeviceField, wsums: jnp.ndarray, c: int,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
-def _window_sums_jit(cv_spec, df, digits16, pts, c, interpret):
+def _window_sums_jit(cv_spec, df, digits16, pts, c, interpret, aff=None):
     wsums, _ = msm_pallas_window_sums(cv_spec, df, digits16, pts, c,
-                                      interpret=interpret)
+                                      interpret=interpret, aff=aff)
     return wsums
 
 
 def msm_pallas_window_sums_async(cv_spec: CurveSpec, df: DeviceField,
                                  digits16, pts, c: int | None = None,
-                                 interpret: bool | None = None):
+                                 interpret: bool | None = None,
+                                 aff: jnp.ndarray | None = None):
     """Jitted device part; returns (device [48, W] array, c) without
     blocking — callers can pipeline several MSMs before reading back."""
     n = digits16.shape[0]
@@ -518,13 +623,15 @@ def msm_pallas_window_sums_async(cv_spec: CurveSpec, df: DeviceField,
     if interpret is None:
         from .pallas_point import _interpret_default
         interpret = _interpret_default()
-    return _window_sums_jit(cv_spec, df, digits16, pts, c, interpret), c
+    return _window_sums_jit(cv_spec, df, digits16, pts, c, interpret,
+                            aff=aff), c
 
 
 def msm_pallas(cv_spec: CurveSpec, df: DeviceField, digits16, pts,
-               c: int | None = None, interpret: bool | None = None):
+               c: int | None = None, interpret: bool | None = None,
+               aff: jnp.ndarray | None = None):
     """Full MSM -> affine host point (device buckets + host combine)."""
     wsums, c = msm_pallas_window_sums_async(cv_spec, df, digits16, pts, c,
-                                            interpret=interpret)
+                                            interpret=interpret, aff=aff)
     window_pts = points_from_proj(cv_spec, df, wsums)
     return host_horner_combine(cv_spec, window_pts, c)

@@ -50,8 +50,9 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 # Sharded MSM
 # ---------------------------------------------------------------------------
 
-def _msm_body(cv: DeviceCurve, mesh: Mesh, is_mont: bool):
-    key = ("msm", id(cv), id(mesh), is_mont)
+def _msm_body(cv: DeviceCurve, mesh: Mesh, is_mont: bool,
+              assume_affine: bool = False):
+    key = ("msm", id(cv), id(mesh), is_mont, assume_affine)
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -65,7 +66,8 @@ def _msm_body(cv: DeviceCurve, mesh: Mesh, is_mont: bool):
     def body(scalars, local_pts):
         from ..fields.device import from_mont
         digits = (from_mont(cv.scalar, scalars) if is_mont else scalars)
-        partial = msm(cv, digits, local_pts)            # local Pippenger
+        partial = msm(cv, digits, local_pts,            # local Pippenger
+                      assume_affine=assume_affine)
         # group-add reduction across shards: gather partials, tree-add
         stack = JPoint(
             jax.lax.all_gather(partial.x, AXIS),
@@ -258,5 +260,7 @@ def sharded_msm_mont(cv: DeviceCurve, mesh: Mesh, scalars_mont: jnp.ndarray,
                      pts: JPoint) -> JPoint:
     """sharded_msm over Montgomery-form scalars: the mont->canonical
     digit conversion runs inside the shard (elementwise)."""
-    out = _msm_body(cv, mesh, is_mont=True)(scalars_mont, pts)
+    # commit bases are SRS shards — affine with coded identity
+    out = _msm_body(cv, mesh, is_mont=True,
+                    assume_affine=True)(scalars_mont, pts)
     return JPoint(out.x[0], out.y[0], out.z[0])

@@ -330,8 +330,11 @@ class Params:
                 pts = JPoint(gx, gy, gz)
                 d16, pts = _pad_pow2(dev, d16, pts)
                 proj = _jpoint_to_proj(dev, pts)
+                # affine SRS bases (+ identity padding): proj[:32] is
+                # the coded-affine batch — mixed adds for free
                 w, _ = mp.msm_pallas_window_sums(
-                    dev.spec, dev.base, d16, proj, c, interpret=interpret)
+                    dev.spec, dev.base, d16, proj, c, interpret=interpret,
+                    aff=proj[:32])
                 return w
             fn = jax.jit(impl)
             Params._COMMIT_JIT[key] = fn
@@ -429,8 +432,12 @@ class Params:
                 from ..ops.msm import _jpoint_to_proj
                 d16 = from_mont(df, vals)
                 proj = _jpoint_to_proj(dev, JPoint(gx, gy, gz))
+                # SRS bases are affine with identity (0, mont 1, 0)
+                # (DeviceCurve.points_to_device), so proj[:32] is the
+                # coded-affine batch — mixed adds for free
                 w, _ = mp.msm_pallas_window_sums_many(
-                    dev.spec, dev.base, d16, proj, c, interpret=interpret)
+                    dev.spec, dev.base, d16, proj, c, interpret=interpret,
+                    aff=proj[:32])
                 return w
             fn = jax.jit(impl)
             Params._COMMIT_JIT[key] = fn

@@ -89,7 +89,8 @@ def main():
 
     # ---- 2. full window_sums ----
     def full():
-        w, _ = msm_pallas_window_sums_async(spec, df, digits, proj, c)
+        w, _ = msm_pallas_window_sums_async(spec, df, digits, proj, c,
+                                            aff=proj[:32])
         return w
     t_full = timeit(full)
     print(f"full window_sums:          {t_full*1e3:9.2f} ms "
