@@ -584,6 +584,41 @@ def fselect(cond, a, b):
 _SCAN_JIT: dict = {}
 
 
+def _scan_hs(df: DeviceField, a, axis: int, reverse: bool,
+             is_mul: bool):
+    """Hillis-Steele inclusive scan as a fori_loop over log2(n) rounds
+    of ONE shift+combine body (shift distance and mask computed
+    in-graph from the loop index).
+
+    Replaces lax.associative_scan, which unrolls its log-depth levels
+    into the trace — each level inlines the full Montgomery-mul code,
+    ~15 MB of executable at n=2^17. On the tunneled runtime executable
+    bytes are the fresh-process cost (~1.4 MB/s first-call transfer),
+    so the n·log n work of Hillis-Steele (~17 extra wide muls, tens of
+    ms) buys back tens of seconds of first-use load per program that
+    embeds a scan."""
+    n = a.shape[axis]
+    if n <= 1:
+        return a
+    x = jnp.moveaxis(a, axis, 0) if axis != 0 else a
+    if reverse:
+        x = jnp.flip(x, axis=0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ok_shape = (n,) + (1,) * (x.ndim - 1)
+
+    def body(i, x):
+        d = jnp.int32(1) << i
+        shifted = jnp.roll(x, d, axis=0)
+        comb = (fmul(df, x, shifted) if is_mul
+                else fadd(df, x, shifted))
+        return jnp.where((idx >= d).reshape(ok_shape), comb, x)
+
+    x = jax.lax.fori_loop(0, (n - 1).bit_length(), body, x)
+    if reverse:
+        x = jnp.flip(x, axis=0)
+    return jnp.moveaxis(x, 0, axis) if axis != 0 else x
+
+
 def running_product(df: DeviceField, a, axis: int = 0,
                     reverse: bool = False):
     """Inclusive product scan (grand products; permutation/lookup z).
@@ -592,8 +627,7 @@ def running_product(df: DeviceField, a, axis: int = 0,
     key = ("prod", id(df), axis, reverse)
     fn = _SCAN_JIT.get(key)
     if fn is None:
-        fn = jax.jit(lambda x: jax.lax.associative_scan(
-            lambda u, v: fmul(df, u, v), x, axis=axis, reverse=reverse))
+        fn = jax.jit(lambda x: _scan_hs(df, x, axis, reverse, True))
         _SCAN_JIT[key] = fn
     return fn(a)
 
@@ -604,8 +638,7 @@ def running_sum(df: DeviceField, a, axis: int = 0, reverse: bool = False):
     key = ("sum", id(df), axis, reverse)
     fn = _SCAN_JIT.get(key)
     if fn is None:
-        fn = jax.jit(lambda x: jax.lax.associative_scan(
-            lambda u, v: fadd(df, u, v), x, axis=axis, reverse=reverse))
+        fn = jax.jit(lambda x: _scan_hs(df, x, axis, reverse, False))
         _SCAN_JIT[key] = fn
     return fn(a)
 

@@ -251,15 +251,19 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
                + jnp.uint32(bucket0))[None, :]           # [1, BL]
 
     def _bisect(leq: bool) -> jnp.ndarray:
-        lo = jnp.zeros((G, BL), dtype=jnp.int32)
-        hi = jnp.full((G, BL), n, dtype=jnp.int32)
-        for _ in range(n.bit_length()):
+        def body(_, state):
+            lo, hi = state
             mid = (lo + hi) >> 1
             v = jnp.take_along_axis(ds, jnp.minimum(mid, n - 1), axis=1)
             go_right = (v <= buckets) if leq else (v < buckets)
             go_right = go_right & (mid < hi)
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
+            return (jnp.where(go_right, mid + 1, lo),
+                    jnp.where(go_right, hi, mid))
+
+        lo, _ = jax.lax.fori_loop(
+            0, n.bit_length(),
+            body, (jnp.zeros((G, BL), dtype=jnp.int32),
+                   jnp.full((G, BL), n, dtype=jnp.int32)))
         return lo
 
     starts = _bisect(leq=False)
@@ -395,22 +399,27 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
 
         if S > 1:
             # un-slot the top rows: tree-add the S slices of each bucket
-            # into slice 0 (log2 S masked rounds), then move bucket j's
-            # total from lane j*S to lane j and fill lanes >= L_pow with
-            # identity so the generic summation-by-parts sees the plain
-            # bucket-ordered layout
-            lane_mod = (np.arange(BL) % S).astype(np.int32)
-            trow = np.repeat(is_top[:, None], BL, axis=1)
-            h = S
-            while h > 1:
-                h >>= 1
+            # into slice 0 (log2 S masked rounds, one fori body — see
+            # the executable-size note at the summation-by-parts loops),
+            # then move bucket j's total from lane j*S to lane j and
+            # fill lanes >= L_pow with identity so the generic
+            # summation-by-parts sees the plain bucket-ordered layout
+            lane_mod = jnp.asarray((np.arange(BL) % S).astype(np.int32))
+            trow = jnp.asarray(is_top)[:, None]
+
+            def unslot_round(i, acc):
+                h = jnp.int32(S) >> (i + 1)
                 acc3 = acc.reshape(3 * NLIMBS, G, BL)
                 shifted = jnp.roll(acc3, -h, axis=2).reshape(
                     3 * NLIMBS, -1)
-                mask = jnp.asarray(trow & (lane_mod < h)[None, :])
-                acc = padd_masked_flat(df, acc, shifted,
-                                       mask.reshape(-1).astype(jnp.uint32),
-                                       interpret=interpret)
+                mask = trow & (lane_mod < h)[None, :]
+                return padd_masked_flat(
+                    df, acc, shifted,
+                    mask.reshape(-1).astype(jnp.uint32),
+                    interpret=interpret)
+
+            acc = jax.lax.fori_loop(0, int(math.log2(S)), unslot_round,
+                                    acc)
             perm = np.arange(BL, dtype=np.int32)
             perm[:L_pow] = np.arange(L_pow, dtype=np.int32) * S
             gidx2 = np.tile(np.arange(BL, dtype=np.int32), (G, 1))
@@ -489,21 +498,25 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
     # bucket j+bucket0, so Σ_j suf[j] = Σ_b (b − bucket0 + 1)·S_b; for
     # the signed layout (bucket0=1, no lane 0 waste) that IS Σ b·S_b,
     # for the unsigned layout the bucket-0 lane is dropped below.
-    bidx = np.arange(BL)
+    bidx = jnp.arange(BL, dtype=jnp.int32)
     logb = int(math.ceil(math.log2(BL)))
 
-    # Unrolled (logb is small and static): shifts and masks become
-    # compile-time constants instead of per-iteration index math.
-    suf = acc
-    for i in range(logb):
-        sft = 1 << i
+    # Both phases are fori_loops over one fixed-shape masked-add body —
+    # shifts and masks are computed IN-GRAPH from the loop index rather
+    # than unrolled into per-level kernel instances: every extra Pallas
+    # instance adds ~1 MB of executable, and on the tunneled runtime
+    # executable bytes ARE the fresh-process cost (~1.4 MB/s first-call
+    # transfer, measured).
+    def suffix_round(i, suf):
+        s = jnp.int32(1) << i
         suf3 = suf.reshape(3 * NLIMBS, G, BL)
-        shifted = jnp.roll(suf3, -sft, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.asarray(
-            np.broadcast_to(bidx + sft < BL, (G, BL)).reshape(-1)
-            .astype(np.uint32))
-        suf = padd_masked_flat(df, suf, shifted, mask,
-                               interpret=interpret)
+        shifted = jnp.roll(suf3, -s, axis=2).reshape(3 * NLIMBS, -1)
+        mask = jnp.broadcast_to((bidx + s < BL)[None, :], (G, BL))
+        return padd_masked_flat(df, suf, shifted,
+                                mask.reshape(-1).astype(jnp.uint32),
+                                interpret=interpret)
+
+    suf = jax.lax.fori_loop(0, logb, suffix_round, acc)
 
     if not signed:
         # drop bucket 0 (its suffix is the full per-window total, not
@@ -514,17 +527,18 @@ def msm_pallas_window_sums_many(cv_spec: CurveSpec, df: DeviceField,
         suf = jnp.concatenate([ident_w, suf3[:, :, 1:]], axis=2).reshape(
             3 * NLIMBS, -1)
 
-    # tree sum over the bucket axis -> [48, G] (unrolled halving)
-    cur = suf
-    for i in range(logb):
-        half = BL >> (i + 1)
+    # tree sum over the bucket axis -> [48, G] (full width with a
+    # shrinking in-graph mask: one traced body serves every level)
+    def tree_round(i, cur):
+        half = jnp.int32(BL) >> (i + 1)
         cur3 = cur.reshape(3 * NLIMBS, G, BL)
         shifted = jnp.roll(cur3, -half, axis=2).reshape(3 * NLIMBS, -1)
-        mask = jnp.asarray(
-            np.broadcast_to(bidx < half, (G, BL)).reshape(-1)
-            .astype(np.uint32))
-        cur = padd_masked_flat(df, cur, shifted, mask,
-                               interpret=interpret)
+        mask = jnp.broadcast_to((bidx < half)[None, :], (G, BL))
+        return padd_masked_flat(df, cur, shifted,
+                                mask.reshape(-1).astype(jnp.uint32),
+                                interpret=interpret)
+
+    cur = jax.lax.fori_loop(0, logb, tree_round, suf)
     wsums = cur.reshape(3 * NLIMBS, G, BL)[:, :, 0]      # [48, G]
     return jnp.moveaxis(wsums.reshape(3 * NLIMBS, m, W), 1, 0), c
 

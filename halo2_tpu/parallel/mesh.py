@@ -214,11 +214,11 @@ def sharded_inclusive_product(df: DeviceField, mesh: Mesh,
             check_vma=False,
         )
         def body(local):
-            inc = jax.lax.associative_scan(
-                lambda u, v: fmul(df, u, v), local, axis=0)
+            from ..fields.device import _scan_hs
+            inc = _scan_hs(df, local, 0, False, True)
             totals = jax.lax.all_gather(inc[-1], AXIS)        # [D, 16]
             pref = jax.lax.associative_scan(
-                lambda u, v: fmul(df, u, v), totals, axis=0)  # inclusive
+                lambda u, v: fmul(df, u, v), totals, axis=0)  # [D] tiny
             idx = jax.lax.axis_index(AXIS)
             one = jnp.broadcast_to(df.scalar(1), (1, NLIMBS))
             excl = jax.lax.cond(

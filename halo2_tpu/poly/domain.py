@@ -336,7 +336,15 @@ class EvaluationDomain:
         # m so m * extended_n stays under the budget.
         budget = int(_os.environ.get("HALO2_TPU_NTT_BATCH_BUDGET",
                                      str(1 << 21)))
-        m_chunk = max(1, budget // self.extended_n)
+        # Cap chunks at 4 columns: with the fixed padding below, EVERY
+        # batched transform in a prove then runs through the single
+        # (domain, m=4) executable — executable loads dominate
+        # fresh-process proves on the tunneled runtime (~1.4 MB/s
+        # first-call transfer; these pipelines compile to tens of MB),
+        # so one shared program beats per-phase m buckets even though
+        # wide phases now take ceil(m/4) dispatches.
+        m_fixed = min(max(1, budget // self.extended_n), 4)
+        m_chunk = m_fixed
         if m > m_chunk:
             polys, cosets = [], []
             for i in range(0, m, m_chunk):
@@ -358,12 +366,11 @@ class EvaluationDomain:
                 cosets.append(jnp.asarray(native.u64_to_dev_mont(ext)))
             return polys, cosets
         # Shape canonicalization: the device paths compile one
-        # executable per column count m, and executable LOADS dominate
-        # fresh-process proves on the tunneled runtime — pad m to a
-        # power of two with zero columns (their transforms are zero;
-        # sliced off below) so phases with m=3 and m=4 share a program.
+        # executable per column count m — pad every chunk to the FIXED
+        # width 4 with zero columns (their transforms are zero; sliced
+        # off below) so all phases of a prove share ONE program.
         m_req = m
-        m_pad = 1 << max(0, (m - 1).bit_length())
+        m_pad = m_fixed
         if m < m_pad:
             zero_col = jnp.zeros_like(values_list[0])
             values_list = list(values_list) + [zero_col] * (m_pad - m)

@@ -47,9 +47,10 @@ def powers(df: DeviceField, x_mont: jnp.ndarray, n: int) -> jnp.ndarray:
             _POWERS_CACHE.pop(next(iter(_POWERS_CACHE)))
         _POWERS_CACHE[key] = out
         return out
+    from ..fields.device import running_product
     xs = jnp.broadcast_to(x_mont, (n, NLIMBS))
     xs = jnp.concatenate([df.ones((1,)), xs[1:]], axis=0)
-    return jax.lax.associative_scan(lambda a, b: fmul(df, a, b), xs, axis=0)
+    return running_product(df, xs, axis=0)
 
 
 def tree_add(df: DeviceField, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
